@@ -1,0 +1,248 @@
+"""UNIVERSE building blocks (TPU layout: batch, time, channels).
+
+Behavior matches the reference implementation
+(/root/reference/open_universe/networks/universe/blocks.py): the
+PReLU->lowpass->strided-conv unit, the UNIVERSE paper's ConvBlock (App. D)
+with FiLM noise conditioning and residual/condition outputs, and the binomial
+anti-aliasing filters.  The design differs where TPU idioms demand: data is
+channels-last, modules are pure functions over parameter pytrees, and all
+length bookkeeping happens on static shapes at trace time.
+"""
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import conv as ops_conv
+from .layers import Conv1d, ConvTranspose1d, Linear, PReLU
+from .module import Module, Params
+from .snake import AliasFreeSnake
+
+SQRT_HALF = 1.0 / math.sqrt(2.0)
+
+
+def film(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Feature-wise linear modulation; x: (B,T,C), y: (B,2C) -> gamma*x+beta."""
+    c = x.shape[-1]
+    if y.shape[-1] != 2 * c:
+        raise ValueError("FiLM conditioning must have 2x the feature channels")
+    gamma = y[..., None, :c]
+    beta = y[..., None, c:]
+    return gamma * x + beta
+
+
+@lru_cache(maxsize=32)
+def _binomial_filter_np(kernel_size: int) -> np.ndarray:
+    """Pascal-row binomial filter normalized to unit RMS (blocks.py:62-68)."""
+    row = np.array(
+        [math.comb(kernel_size - 1, i) for i in range(kernel_size)], np.float64
+    )
+    row = row / np.sqrt(np.mean(row**2))
+    row = row / np.sqrt(np.mean(row**2))
+    return row.astype(np.float32)
+
+
+def binomial_filter(kernel_size: int) -> jax.Array:
+    return jnp.asarray(_binomial_filter_np(kernel_size))
+
+
+class BinomialAntiAlias(Module):
+    """Depthwise 'same' binomial low-pass; constant (buffer-only) module."""
+
+    def __init__(self, kernel_size: int):
+        self.kernel_size = kernel_size
+
+    def init(self, key) -> Params:
+        return {}
+
+    def apply(self, params: Params, x: jax.Array) -> jax.Array:
+        return ops_conv.depthwise_conv1d_same(x, binomial_filter(self.kernel_size))
+
+
+class LinearProj(Module):
+    """1x1-conv projection of the condition added to the input (blocks.py:91-101)."""
+
+    def __init__(self, in_dim, out_dim=None, weight_norm=False):
+        out_dim = in_dim if out_dim is None else out_dim
+        self.proj = Conv1d(in_dim, out_dim, 1, weight_norm=weight_norm)
+
+    def apply(self, params: Params, x: jax.Array, c: jax.Array) -> jax.Array:
+        return (self.proj(params["proj"], c) + x) * SQRT_HALF
+
+
+class PReLUConv(Module):
+    """activation -> [binomial low-pass] -> (transposed) conv [+ manual bias].
+
+    Mirrors PReLU_Conv (blocks.py:133-227): with antialiasing the conv bias is
+    disabled and a separate bias is added after the low-pass; for downsampling
+    the low-pass precedes the conv, for upsampling it follows.
+    """
+
+    def __init__(self, in_channels, out_channels, kernel_size, stride=1, padding=0,
+                 bias=True, use_transpose=False, act_type="prelu",
+                 weight_norm=False, antialiasing=False):
+        self.stride = stride
+        self.use_transpose = use_transpose
+        self.antialiasing = antialiasing
+        self.manual_bias = bias and antialiasing
+        self.out_channels = out_channels
+
+        conv_bias = bias and not antialiasing
+        if use_transpose:
+            self.conv = ConvTranspose1d(in_channels, out_channels, kernel_size,
+                                        stride=stride, padding=padding,
+                                        bias=conv_bias, weight_norm=weight_norm)
+        else:
+            self.conv = Conv1d(in_channels, out_channels, kernel_size,
+                               stride=stride, padding=padding,
+                               bias=conv_bias, weight_norm=weight_norm)
+
+        if antialiasing:
+            self.low_pass_filter = BinomialAntiAlias(2 * kernel_size + 1)
+
+        self.act_type = act_type
+        if act_type == "snake":
+            self.prelu = AliasFreeSnake(in_channels, alpha_logscale=True)
+        elif act_type == "snakebeta":
+            self.prelu = AliasFreeSnake(in_channels, alpha_logscale=True, beta=True)
+        elif act_type == "prelu":
+            self.prelu = PReLU()
+        elif act_type in ("none", None):
+            self.prelu = None
+        else:
+            raise ValueError("'act_type' should be one of prelu|snake|snakebeta|none")
+
+    def init(self, key) -> Params:
+        p = super().init(key)
+        if self.manual_bias:
+            p["bias"] = jnp.zeros((self.out_channels,), jnp.float32)
+        return p
+
+    def apply(self, params: Params, x: jax.Array) -> jax.Array:
+        if not self.use_transpose and self.stride > 1:
+            r = x.shape[1] % self.stride
+            if r != 0:
+                x = jnp.pad(x, ((0, 0), (0, self.stride - r), (0, 0)))
+
+        if self.prelu is not None:
+            x = self.prelu(params["prelu"], x)
+
+        if self.antialiasing and not self.use_transpose:
+            x = self.low_pass_filter({}, x)
+
+        x = self.conv(params["conv"], x)
+
+        if self.antialiasing and self.use_transpose:
+            x = self.low_pass_filter({}, x)
+
+        if self.manual_bias:
+            x = x + params["bias"].astype(x.dtype)
+
+        return x
+
+
+class ConvBlock(Module):
+    """UNIVERSE ConvBlock (paper App. D; reference blocks.py:230-412).
+
+    rate-change conv (up/down/none) + three same-padding convs (k=5,3,3),
+    FiLM noise conditioning, optional per-stage signal conditioning, and
+    residual/condition outputs.  Down blocks return the features *before*
+    downsampling as the skip residual.
+    """
+
+    def __init__(self, n_channels, rate_change=None, rate_change_dir="none",
+                 act_type="prelu", antialiasing=False, weight_norm=False,
+                 signal_cond_type=None):
+        if rate_change_dir not in ("up", "down", "none"):
+            raise ValueError("rate_change_dir must be up|down|none")
+        if rate_change_dir in ("up", "down") and rate_change is None:
+            raise ValueError("rate_change required for up/down blocks")
+
+        self.rate = rate_change
+        self.rate_change_dir = rate_change_dir
+
+        if rate_change_dir == "down":
+            self.in_channels, self.out_channels = n_channels, 2 * n_channels
+            self.rate_change_conv = PReLUConv(
+                n_channels, 2 * n_channels, rate_change, stride=rate_change,
+                weight_norm=weight_norm, antialiasing=antialiasing)
+        elif rate_change_dir == "up":
+            self.in_channels, self.out_channels = 2 * n_channels, n_channels
+            self.rate_change_conv = PReLUConv(
+                2 * n_channels, n_channels, rate_change, stride=rate_change,
+                use_transpose=True, weight_norm=weight_norm,
+                antialiasing=antialiasing)
+        else:
+            self.in_channels = self.out_channels = n_channels
+            self.rate_change_conv = None
+
+        self.conv1 = PReLUConv(n_channels, n_channels, 5, padding="same",
+                               act_type=act_type, weight_norm=weight_norm)
+        self.conv2 = PReLUConv(n_channels, n_channels, 3, padding="same",
+                               act_type=act_type, weight_norm=weight_norm)
+        self.conv3 = PReLUConv(n_channels, n_channels, 3, padding="same",
+                               act_type=act_type, weight_norm=weight_norm)
+
+        if signal_cond_type == "linear":
+            self.signal_cond_proj = LinearProj(n_channels, weight_norm=weight_norm)
+        elif signal_cond_type in ("none", None):
+            self.signal_cond_proj = None
+        else:
+            raise ValueError("signal_cond_type must be linear|none")
+
+    def apply(
+        self,
+        params: Params,
+        h: jax.Array,
+        noise_cond: Optional[jax.Array] = None,
+        input_cond: Optional[jax.Array] = None,
+        res: Optional[jax.Array] = None,
+        length: Optional[int] = None,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Returns (next-stage h, skip residual, condition output)."""
+        if self.rate_change_dir == "up":
+            if length is not None and self.rate * h.shape[1] < length:
+                h = jnp.pad(h, ((0, 0), (0, 1), (0, 0)))
+            h = self.rate_change_conv(params["rate_change_conv"], h)
+            if length is not None:
+                if h.shape[1] > length:
+                    h = h[:, :length]
+                elif h.shape[1] < length:
+                    h = jnp.pad(h, ((0, 0), (0, length - h.shape[1]), (0, 0)))
+
+        if res is not None:
+            if self.rate_change_dir == "down":
+                raise ValueError("residual input not allowed for down blocks")
+            h = (h + res) * SQRT_HALF
+
+        cond_out = self.conv1(params["conv1"], h)
+        if input_cond is not None:
+            if self.signal_cond_proj is None:
+                c = (cond_out + input_cond) * SQRT_HALF
+            else:
+                c = self.signal_cond_proj(params["signal_cond_proj"], cond_out,
+                                          input_cond)
+        else:
+            c = cond_out
+
+        if noise_cond is not None:
+            c = film(c, noise_cond)
+        c = self.conv2(params["conv2"], c)
+        c = self.conv3(params["conv3"], c)
+
+        v_out = (h + c) * SQRT_HALF
+
+        if self.rate_change_dir == "down":
+            r = h.shape[1] % self.rate
+            v_pad = (
+                jnp.pad(v_out, ((0, 0), (0, self.rate - r), (0, 0)))
+                if r != 0 else v_out
+            )
+            h_out = self.rate_change_conv(params["rate_change_conv"], v_pad)
+            return h_out, v_out, cond_out
+        return v_out, v_out, cond_out
