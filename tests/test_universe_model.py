@@ -1,0 +1,159 @@
+"""Universe model tests: losses, time sampling, and the analytic-score sampler.
+
+The fake-score sampler test reuses the reference's diffusion probe idea
+(universe.py:278-298): with a near-perfect analytic score the sampler must
+reconstruct the (normalized) target regardless of network quality.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from open_universe_tpu.models.condition import ConditionerNetwork
+from open_universe_tpu.models.score import ScoreNetwork
+from open_universe_tpu.models.universe import Universe
+
+RATES = [2, 4, 4, 5]
+NCH = 4
+FS = 16000
+T = 1600  # 0.1 s
+
+
+def _make_universe(edm=None, weights=None):
+    score = ScoreNetwork(rate_factors=RATES, n_channels=NCH, noise_cond_dim=32,
+                         extra_conv_block=True)
+    cond = ConditionerNetwork(rate_factors=RATES, n_channels=NCH, n_mels=16,
+                              n_mel_oversample=4, encoder_gru_residual=True,
+                              extra_conv_block=True)
+    return Universe(
+        fs=FS,
+        score_model=score,
+        condition_model=cond,
+        losses={"weights": weights or {"score": 1.0, "signal": 1.0, "latent": 1.0},
+                "mdn_n_comp": 2, "mdn_alpha_per_sample": True},
+        training={"audio_len": T / FS, "time_sampling": "time_uniform",
+                  "ema_decay": 0.999},
+        normalization_kwargs={"ref": "both", "level_db": -26.0},
+        edm=edm,
+    )
+
+
+def test_training_losses_finite():
+    model = _make_universe()
+    params = model.init(jax.random.key(0))
+    mix = jax.random.normal(jax.random.key(1), (2, T, 1)) * 0.1
+    target = mix * 0.5
+    loss, metrics = model.training_losses(params, jax.random.key(2), mix, target)
+    assert np.isfinite(float(loss))
+    assert set(metrics) == {"train/loss", "train/score", "train/signal",
+                            "train/latent"}
+    for v in metrics.values():
+        assert np.isfinite(float(v))
+
+
+def test_training_losses_grad():
+    model = _make_universe()
+    params = model.init(jax.random.key(0))
+    mix = jax.random.normal(jax.random.key(1), (2, T, 1)) * 0.1
+    target = mix * 0.5
+
+    def loss_fn(p):
+        return model.training_losses(p, jax.random.key(2), mix, target)[0]
+
+    grads = jax.grad(loss_fn)(params)
+    gnorm = jnp.sqrt(sum(jnp.sum(g**2) for g in jax.tree_util.tree_leaves(grads)))
+    assert np.isfinite(float(gnorm)) and float(gnorm) > 0
+
+
+def test_edm_parameterization():
+    model = _make_universe(edm={"noise": 0.25},
+                           weights={"score": 1.0, "signal": 0.0, "latent": 0.0})
+    params = model.init(jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (2, T, 1))
+    cond_net = model.condition_model
+    conds = cond_net(params["condition_model"], x, train=False)
+    sigma = jnp.full((2,), 0.3)
+    s, est = model.score(params, x, sigma, conds, with_speech_est=True)
+    # score and speech estimate are consistent: est = x + sigma^2 * score
+    np.testing.assert_allclose(
+        np.asarray(x + sigma[:, None, None] ** 2 * s), np.asarray(est),
+        atol=1e-4)
+
+
+@pytest.mark.parametrize("mode", [
+    "time_uniform", "sigma_linear", "diffsym", "time_discrete",
+    "time_normal_0.95", "adaptive",
+])
+def test_sample_sigma_modes(mode):
+    model = _make_universe()
+    kwargs = {}
+    if mode == "adaptive":
+        kwargs = {"pr_cum": jnp.array([0.0, 0.2, 0.5, 0.8, 0.9, 1.0 + 1e-5]),
+                  "bins": jnp.linspace(0.0, 1.0, 6)}
+    sigma, time = model.sample_sigma(jax.random.key(0), 512, mode, **kwargs)
+    s, t = np.asarray(sigma), np.asarray(time)
+    assert s.shape == (512,)
+    assert (t >= 0).all() and (t <= 1).all()
+    assert (s >= model.diff_kwargs["sigma_min"] - 1e-6).all()
+    assert (s <= model.diff_kwargs["sigma_max"] + 1e-6).all()
+
+
+def test_enhance_fake_score_reconstructs_target():
+    """With a near-perfect analytic score, enhance() must recover the target."""
+    model = _make_universe()
+    params = model.init(jax.random.key(0))
+    t = 5 * 160
+    key = jax.random.key(3)
+    clean = jnp.sin(2 * jnp.pi * 220.0 * jnp.arange(t) / FS)[None, :, None] * 0.05
+    noise = jax.random.normal(key, (1, t, 1)) * 0.02
+    mix = clean + noise
+
+    est = model.enhance(params, mix, key=jax.random.key(4), n_steps=16,
+                        target=clean, fake_score_snr=80.0)
+    # compare against the normalized target (enhance outputs normalized scale)
+    (mix_n, clean_n), *_ = model.normalize_batch((model.pad(mix)[0],
+                                                  model.pad(clean)[0]))
+    clean_n = model.unpad(clean_n, model.pad(mix)[1])
+    err = np.linalg.norm(np.asarray(est - clean_n)) / np.linalg.norm(
+        np.asarray(clean_n))
+    assert err < 0.05, f"relative error {err}"
+
+
+def test_enhance_shapes_and_ensemble():
+    model = _make_universe()
+    params = model.init(jax.random.key(0))
+    t = 3 * 160 + 17  # non-multiple length
+    mix = jax.random.normal(jax.random.key(1), (2, t)) * 0.1
+    est = model.enhance(params, mix, key=jax.random.key(2), n_steps=2)
+    assert est.shape == (2, t)
+
+    est3 = model.enhance(params, mix, key=jax.random.key(2), n_steps=2,
+                         ensemble=3, ensemble_stat="median")
+    assert est3.shape == (2, t)
+
+    est_aux = model.enhance(params, mix, key=jax.random.key(2),
+                            use_aux_signal=True)
+    # aux signal has n_channels channels before decoupling; plain Universe
+    # returns it unchanged -> shape (B, T, NCH) reduced to (B, T) is invalid,
+    # so just check it runs and is finite
+    assert np.isfinite(np.asarray(est_aux)).all()
+
+
+def test_enhance_warm_start():
+    # warm start feeds the aux signal into the score net, so the conditioner
+    # must emit a 1-channel estimate (as in the GAN variant's decoupling path)
+    score = ScoreNetwork(rate_factors=RATES, n_channels=NCH, noise_cond_dim=32,
+                         extra_conv_block=True)
+    cond = ConditionerNetwork(rate_factors=RATES, n_channels=NCH, n_mels=16,
+                              n_mel_oversample=4, extra_conv_block=True,
+                              output_channels=1)
+    model = Universe(fs=FS, score_model=score, condition_model=cond,
+                     losses={"weights": {"score": 1.0, "signal": 0.0,
+                                         "latent": 0.0}},
+                     training={"audio_len": T / FS})
+    params = model.init(jax.random.key(0))
+    mix = jax.random.normal(jax.random.key(1), (1, 480)) * 0.1
+    est = model.enhance(params, mix, key=jax.random.key(2), n_steps=4,
+                        warm_start=2)
+    assert est.shape == (1, 480)
