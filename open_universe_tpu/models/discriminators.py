@@ -1,0 +1,179 @@
+"""Multi-period and multi-resolution discriminators + LSGAN losses.
+
+Functionality of the BigVGAN/HiFi-GAN adversarial stack used by UNIVERSE++
+(reference networks/bigvgan/gan.py), re-designed for TPU: NHWC layouts,
+channels-last STFT features, pure-function modules.  Spectral-norm variants
+are not supported (the reference configs never enable them).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.layers import Conv2d
+from ..nn.module import Module, ModuleList, Params
+from ..ops.stft import stft as _stft
+
+LRELU_SLOPE = 0.1
+
+
+def _lrelu(x):
+    return jax.nn.leaky_relu(x, LRELU_SLOPE)
+
+
+def _get_padding(kernel_size, dilation=1):
+    return int((kernel_size * dilation - dilation) / 2)
+
+
+class DiscriminatorP(Module):
+    """Period discriminator: 2-D convs over the period-folded waveform."""
+
+    def __init__(self, cfg: dict, period: int, kernel_size=5, stride=3):
+        self.period = period
+        d_mult = cfg.get("discriminator_channel_mult", 1)
+        in_ch = cfg.get("input_channels", 1)
+        wn = not cfg.get("use_spectral_norm", False)
+        chans = [in_ch, int(32 * d_mult), int(128 * d_mult), int(512 * d_mult),
+                 int(1024 * d_mult)]
+        convs = []
+        for i in range(4):
+            convs.append(Conv2d(chans[i], chans[i + 1], (kernel_size, 1),
+                                stride=(stride, 1),
+                                padding=(_get_padding(5, 1), 0), weight_norm=wn))
+        convs.append(Conv2d(chans[4], int(1024 * d_mult), (kernel_size, 1),
+                            stride=(1, 1), padding=(2, 0), weight_norm=wn))
+        self.convs = ModuleList(convs)
+        self.conv_post = Conv2d(int(1024 * d_mult), 1, (3, 1), padding=(1, 0),
+                                weight_norm=wn)
+
+    def apply(self, params: Params, x: jax.Array):
+        """x: (B, T, C) -> (score (B, S), fmaps list)."""
+        fmap = []
+        b, t, c = x.shape
+        if t % self.period != 0:
+            n_pad = self.period - (t % self.period)
+            x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)), mode="reflect")
+            t = t + n_pad
+        x = x.reshape(b, t // self.period, self.period, c)  # (B, H, W, C)
+
+        for i, conv in enumerate(self.convs):
+            x = conv(params["convs"][str(i)], x)
+            x = _lrelu(x)
+            fmap.append(x)
+        x = self.conv_post(params["conv_post"], x)
+        fmap.append(x)
+        return x.reshape(b, -1), fmap
+
+
+class MultiPeriodDiscriminator(Module):
+    def __init__(self, cfg: dict):
+        self.periods = list(cfg.get("mpd_reshapes", [2, 3, 5, 7, 11]))
+        self.discriminators = ModuleList(
+            [DiscriminatorP(cfg, p) for p in self.periods])
+
+    def apply(self, params: Params, y: jax.Array, y_hat: jax.Array):
+        y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        for i, d in enumerate(self.discriminators):
+            p = params["discriminators"][str(i)]
+            s_r, f_r = d(p, y)
+            s_g, f_g = d(p, y_hat)
+            y_d_rs.append(s_r)
+            y_d_gs.append(s_g)
+            fmap_rs.append(f_r)
+            fmap_gs.append(f_g)
+        return y_d_rs, y_d_gs, fmap_rs, fmap_gs
+
+
+class DiscriminatorR(Module):
+    """Resolution discriminator: 2-D convs over an STFT magnitude."""
+
+    def __init__(self, cfg: dict, resolution: Sequence[int]):
+        assert len(resolution) == 3
+        self.resolution = list(resolution)  # (n_fft, hop, win)
+        d_mult = cfg.get("discriminator_channel_mult", 1)
+        in_ch = cfg.get("input_channels", 1)
+        wn = not cfg.get("use_spectral_norm", False)
+        c = int(32 * d_mult)
+        self.convs = ModuleList([
+            Conv2d(in_ch, c, (3, 9), padding=(1, 4), weight_norm=wn),
+            Conv2d(c, c, (3, 9), stride=(1, 2), padding=(1, 4), weight_norm=wn),
+            Conv2d(c, c, (3, 9), stride=(1, 2), padding=(1, 4), weight_norm=wn),
+            Conv2d(c, c, (3, 9), stride=(1, 2), padding=(1, 4), weight_norm=wn),
+            Conv2d(c, c, (3, 3), padding=(1, 1), weight_norm=wn),
+        ])
+        self.conv_post = Conv2d(c, 1, (3, 3), padding=(1, 1), weight_norm=wn)
+
+    def _spectrogram(self, x: jax.Array) -> jax.Array:
+        """x: (B, T, C) -> magnitude (B, F, TT, C) (freq on H, frames on W)."""
+        n_fft, hop, win = self.resolution
+        pad = int((n_fft - hop) / 2)
+        xw = jnp.moveaxis(x, -1, 1)  # (B, C, T)
+        xw = jnp.pad(xw, ((0, 0), (0, 0), (pad, pad)), mode="reflect")
+        z = _stft(xw, n_fft, hop, win_length=win, center=False)
+        mag = jnp.abs(z)  # (B, C, frames, freq)
+        return jnp.transpose(mag, (0, 3, 2, 1))  # (B, freq, frames, C)
+
+    def apply(self, params: Params, x: jax.Array):
+        fmap = []
+        h = self._spectrogram(x)
+        for i, conv in enumerate(self.convs):
+            h = conv(params["convs"][str(i)], h)
+            h = _lrelu(h)
+            fmap.append(h)
+        h = self.conv_post(params["conv_post"], h)
+        fmap.append(h)
+        return h.reshape(h.shape[0], -1), fmap
+
+
+class MultiResolutionDiscriminator(Module):
+    def __init__(self, cfg: dict):
+        resolutions = cfg.get(
+            "resolutions", [[1024, 120, 600], [2048, 240, 1200], [512, 50, 240]])
+        assert len(resolutions) == 3
+        self.discriminators = ModuleList(
+            [DiscriminatorR(cfg, r) for r in resolutions])
+
+    def apply(self, params: Params, y: jax.Array, y_hat: jax.Array):
+        y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        for i, d in enumerate(self.discriminators):
+            p = params["discriminators"][str(i)]
+            s_r, f_r = d(p, y)
+            s_g, f_g = d(p, y_hat)
+            y_d_rs.append(s_r)
+            y_d_gs.append(s_g)
+            fmap_rs.append(f_r)
+            fmap_gs.append(f_g)
+        return y_d_rs, y_d_gs, fmap_rs, fmap_gs
+
+
+# ----------------------------------------------------------- LSGAN losses
+def feature_loss(fmap_r, fmap_g):
+    loss = 0.0
+    for dr, dg in zip(fmap_r, fmap_g):
+        for rl, gl in zip(dr, dg):
+            loss += jnp.mean(jnp.abs(rl - gl))
+    return loss * 2.0
+
+
+def discriminator_loss(disc_real_outputs, disc_generated_outputs):
+    loss = 0.0
+    r_losses, g_losses = [], []
+    for dr, dg in zip(disc_real_outputs, disc_generated_outputs):
+        r_loss = jnp.mean((1.0 - dr) ** 2)
+        g_loss = jnp.mean(dg**2)
+        loss += r_loss + g_loss
+        r_losses.append(r_loss)
+        g_losses.append(g_loss)
+    return loss, r_losses, g_losses
+
+
+def generator_loss(disc_outputs):
+    loss = 0.0
+    gen_losses = []
+    for dg in disc_outputs:
+        l = jnp.mean((1.0 - dg) ** 2)
+        gen_losses.append(l)
+        loss += l
+    return loss, gen_losses

@@ -271,3 +271,60 @@ class LayerNorm(Module):
         var = jnp.var(x, axis=axes, keepdims=True)
         xn = (x - mu) * jax.lax.rsqrt(var + self.eps)
         return xn * params["weight"].astype(x.dtype) + params["bias"].astype(x.dtype)
+
+
+class Conv2d(Module):
+    """2-D conv, NHWC layout; weight (KH, KW, Cin, Cout) = torch (Cout,Cin,KH,KW)
+    transposed (2,3,1,0).  weight_norm normalizes per output channel."""
+
+    def __init__(self, in_channels, out_channels, kernel_size, stride=(1, 1),
+                 padding=(0, 0), bias=True, weight_norm=False):
+        if isinstance(kernel_size, int):
+            kernel_size = (kernel_size, kernel_size)
+        if isinstance(stride, int):
+            stride = (stride, stride)
+        if isinstance(padding, int):
+            padding = (padding, padding)
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.kernel_size = tuple(kernel_size)
+        self.stride = tuple(stride)
+        self.padding = tuple(padding)
+        self.use_bias = bias
+        self.weight_norm = weight_norm
+
+    def init(self, key) -> Params:
+        kw, kb = jax.random.split(key)
+        kh, kw_ = self.kernel_size
+        fan_in = self.in_channels * kh * kw_
+        bound = 1.0 / math.sqrt(fan_in)
+        w = _uniform(kw, (kh, kw_, self.in_channels, self.out_channels), bound)
+        p: Params = {}
+        if self.weight_norm:
+            p["weight_v"] = w
+            p["weight_g"] = jnp.sqrt(jnp.sum(w * w, axis=(0, 1, 2)))
+        else:
+            p["weight"] = w
+        if self.use_bias:
+            p["bias"] = _uniform(kb, (self.out_channels,), bound)
+        return p
+
+    def weight(self, params: Params) -> jax.Array:
+        if self.weight_norm:
+            v = params["weight_v"]
+            g = params["weight_g"]
+            norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1, 2), keepdims=True))
+            return g[None, None, None, :] * v / jnp.maximum(norm, 1e-12)
+        return params["weight"]
+
+    def apply(self, params: Params, x: jax.Array) -> jax.Array:
+        ph, pw = self.padding
+        y = jax.lax.conv_general_dilated(
+            x, self.weight(params).astype(x.dtype),
+            window_strides=self.stride,
+            padding=((ph, ph), (pw, pw)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if "bias" in params:
+            y = y + params["bias"].astype(y.dtype)
+        return y

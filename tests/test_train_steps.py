@@ -1,0 +1,138 @@
+"""Training-step tests: score-only loss decreases; GAN step runs; both work
+data-parallel over the 8-device CPU mesh."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from open_universe_tpu.models.condition import ConditionerNetwork
+from open_universe_tpu.models.score import ScoreNetwork
+from open_universe_tpu.models.universe import Universe
+from open_universe_tpu.models.universe_gan import UniverseGAN
+from open_universe_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from open_universe_tpu.train.optim import (
+    FixedClipper,
+    adamw,
+    linear_warmup_cosine_annealing,
+)
+from open_universe_tpu.train.steps import (
+    init_train_state,
+    make_gan_train_step,
+    make_train_step,
+)
+from open_universe_tpu.nn.module import buffer_mask
+
+RATES = [2, 4, 4, 5]
+NCH = 4
+FS = 16000
+T = 800  # 0.05 s
+
+
+def _nets(**kw):
+    score = ScoreNetwork(rate_factors=RATES, n_channels=NCH, noise_cond_dim=32,
+                         extra_conv_block=True, **kw)
+    cond = ConditionerNetwork(rate_factors=RATES, n_channels=NCH, n_mels=16,
+                              n_mel_oversample=4, extra_conv_block=True)
+    return score, cond
+
+
+def _batch(key, b=8):
+    clean = jax.random.normal(key, (b, T, 1)) * 0.05
+    noise = jax.random.normal(jax.random.fold_in(key, 1), (b, T, 1)) * 0.02
+    return {"noisy": clean + noise, "clean": clean}
+
+
+def test_score_train_step_loss_decreases():
+    score, cond = _nets()
+    model = Universe(fs=FS, score_model=score, condition_model=cond,
+                     losses={"weights": {"score": 1.0, "signal": 1.0,
+                                         "latent": 1.0}, "mdn_n_comp": 2},
+                     training={"audio_len": T / FS, "ema_decay": 0.999,
+                               "time_sampling": "time_uniform"},
+                     normalization_kwargs={"ref": "both", "level_db": -26.0})
+    params = model.init(jax.random.key(0))
+    mask = buffer_mask(model, params)
+    sched = linear_warmup_cosine_annealing(1e-3, 10, 50, 100, 1e-6)
+    tx = adamw(sched, params=params, trainable_mask=mask)
+    clipper = FixedClipper(1000.0)
+    state = init_train_state(model, params, tx, clipper=clipper)
+    step = jax.jit(make_train_step(model, tx, clipper=clipper))
+
+    batch = _batch(jax.random.key(1))
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.key(10 + i))
+        losses.append(float(metrics["train/loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+    # buffer (rff freq) must not have been updated
+    np.testing.assert_array_equal(
+        np.asarray(state["params"]["score_model"]["sigma_block"].get(
+            "freq", np.zeros(1))),
+        np.asarray(params["score_model"]["sigma_block"].get(
+            "freq", np.zeros(1))))
+    assert int(state["ema"]["num_updates"]) == 8
+
+
+def test_gan_train_step_runs():
+    score, cond = _nets(use_weight_norm=True, use_antialiasing=True,
+                        time_embedding="simple")
+    model = UniverseGAN(
+        fs=FS, score_model=score, condition_model=cond,
+        losses={
+            "multi_period_discriminator": {"mpd_reshapes": [2, 3],
+                                           "discriminator_channel_mult": 0.25},
+            "multi_resolution_discriminator": {
+                "resolutions": [[128, 30, 75], [256, 60, 150], [64, 12, 30]],
+                "discriminator_channel_mult": 0.25},
+            "weights": {"mel_l1": 45.0, "score": 1.0},
+            "use_signal_decoupling": True,
+            "signal_decoupling_act": "snake",
+            "disc_freeze_step": 0,
+        },
+        training={"audio_len": T / FS, "time_sampling": "time_normal_0.95",
+                  "ema_decay": 0.999},
+        normalization_kwargs={"ref": "both", "level_db": -26.0},
+        edm={"noise": 0.25},
+    )
+    params = model.init(jax.random.key(0))
+    tx_gen = adamw(2e-4, params={k: params[k] for k in model.model_param_keys()})
+    tx_disc = adamw(2e-4, weight_decay=0.0)
+    state = init_train_state(model, params, tx_gen, disc_tx=tx_disc)
+    step = jax.jit(make_gan_train_step(
+        model, tx_gen, tx_disc,
+        grad_clip_vals={"mpd": 1000.0, "mrd": 1000.0, "score": 1000.0,
+                        "cond": 1000.0}))
+
+    batch = _batch(jax.random.key(1), b=2)
+    state, metrics = step(state, batch, jax.random.key(2))
+    for k in ("train/loss_disc", "train/loss_gen", "train/score",
+              "train/signal_mel", "grad/score", "grad/mpd"):
+        assert np.isfinite(float(metrics[k])), k
+    # second step: params changed
+    state2, metrics2 = step(state, batch, jax.random.key(3))
+    assert int(state2["step"]) == 2
+
+
+def test_data_parallel_train_step_on_mesh():
+    mesh = make_mesh(dp=8)
+    score, cond = _nets()
+    model = Universe(fs=FS, score_model=score, condition_model=cond,
+                     losses={"weights": {"score": 1.0, "signal": 0.0,
+                                         "latent": 0.0}},
+                     training={"audio_len": T / FS, "ema_decay": 0.0},
+                     normalization_kwargs={"ref": "both", "level_db": -26.0})
+    params = model.init(jax.random.key(0))
+    tx = adamw(1e-4, params=params)
+    state = init_train_state(model, params, tx)
+    state = replicate(mesh, state)
+    batch = shard_batch(mesh, _batch(jax.random.key(1), b=16))
+
+    step = jax.jit(make_train_step(model, tx))
+    state, metrics = step(state, batch, jax.random.key(2))
+    assert np.isfinite(float(metrics["train/loss"]))
+    # parameters remain replicated after the update
+    leaf = state["params"]["score_model"]["input_conv"]["weight"]
+    assert leaf.sharding.is_fully_replicated
