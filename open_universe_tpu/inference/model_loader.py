@@ -1,0 +1,117 @@
+"""Model loading: local Lightning checkpoints or HuggingFace hub.
+
+Mirrors the reference public API (inference_utils/model_loader.py): a model
+spec is either a local ``*.ckpt`` path (config discovered at ``./config.yaml``
+or ``../.hydra/config.yaml``) or an HF repo ``repo[:revision]`` hosting
+``weights.ckpt`` + ``config.yaml``.  Returns (model, params) with EMA weights
+folded in when present, weight norm folded for inference speed.
+"""
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+import yaml
+
+from ..configs.registry import instantiate
+from ..nn.module import Module
+from .torch_convert import (
+    apply_ema_shadow,
+    convert_state_dict,
+    fold_weight_norm,
+)
+
+log = logging.getLogger(__name__)
+
+DEFAULT_MODEL = "line-corporation/open-universe:plusplus"
+
+
+def ckpt_to_config_path(ckpt_path: Path) -> Path:
+    """Config discovery rule of the reference (model_loader.py:33-48)."""
+    for cand in (ckpt_path.parent / "config.yaml",
+                 ckpt_path.parent.parent / ".hydra" / "config.yaml",
+                 ckpt_path.parent / "hparams.yaml"):
+        if cand.exists():
+            return cand
+    raise FileNotFoundError(f"no config.yaml found next to {ckpt_path}")
+
+
+def _download_hf(repo: str, revision: Optional[str]) -> Tuple[Path, Path]:
+    try:
+        from huggingface_hub import hf_hub_download
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("huggingface_hub is required for hub models") from e
+    ckpt = hf_hub_download(repo_id=repo, filename="weights.ckpt",
+                           revision=revision)
+    cfg = hf_hub_download(repo_id=repo, filename="config.yaml",
+                          revision=revision)
+    return Path(ckpt), Path(cfg)
+
+
+def _load_torch_ckpt(path: Path) -> Dict[str, Any]:
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    return ckpt
+
+
+def load_model(name_or_path: str, load_ema: bool = True,
+               fold_wn: bool = True) -> Tuple[Module, Dict[str, Any]]:
+    """Load a model + params from a local ckpt or the HF hub.
+
+    Returns (model, params); run inference via
+    ``model.enhance(params, mix, ...)``.
+    """
+    p = Path(name_or_path)
+    if p.exists() and p.suffix == ".ckpt":
+        ckpt_path, cfg_path = p, ckpt_to_config_path(p)
+    else:
+        if ":" in name_or_path:
+            repo, rev = name_or_path.rsplit(":", 1)
+        else:
+            repo, rev = name_or_path, None
+        ckpt_path, cfg_path = _download_hf(repo, rev)
+
+    with open(cfg_path) as f:
+        config = yaml.safe_load(f)
+    model_cfg = config.get("model", config)
+    model = instantiate(model_cfg)
+
+    ckpt = _load_torch_ckpt(ckpt_path)
+    state_dict = ckpt.get("state_dict", ckpt)
+    params, skipped = convert_state_dict(model, state_dict)
+    real_skipped = [k for k in skipped
+                    if not any(k.startswith(x) for x in ("enh_losses",))]
+    if real_skipped:
+        log.info("skipped %d checkpoint keys (buffers/metrics): %s...",
+                 len(real_skipped), real_skipped[:5])
+
+    ema = ckpt.get("ema")
+    if load_ema and ema is not None and "shadow_params" in ema:
+        log.info("loading EMA shadow parameters")
+        subs = list(model.model_param_keys())
+        if any(k.startswith("_edm_model.") for k in state_dict):
+            subs = ["_edm_model" if s == "score_model" else s for s in subs]
+        params = apply_ema_shadow(model, params, state_dict,
+                                  ema["shadow_params"], subs)
+    elif load_ema and ema is None:
+        log.warning("EMA weights requested but not found in checkpoint")
+
+    if fold_wn:
+        params = fold_weight_norm(model, params)
+
+    import jax.numpy as jnp
+
+    params = {k: v for k, v in params.items()}
+    params = jax_tree_asarray(params)
+    return model, params
+
+
+def jax_tree_asarray(tree):
+    import jax.numpy as jnp
+
+    if isinstance(tree, dict):
+        return {k: jax_tree_asarray(v) for k, v in tree.items()}
+    return jnp.asarray(tree)

@@ -42,19 +42,24 @@ def _st_conv_rates(ds_factors) -> List[int]:
 
 
 class StConv(Module):
-    """Optional anti-alias + strided conv shortcut to the latent rate."""
+    """Anti-alias + strided conv shortcut (torch: Sequential(AA, PReLU_Conv),
+    so the conv's parameters live under child name '1')."""
 
-    def __init__(self, in_ch, out_ch, rate, weight_norm=False, antialiasing=False):
-        self.antialiasing = antialiasing
-        if antialiasing:
-            self.aa = BinomialAntiAlias(rate * 2 + 1)
-        self.conv = PReLUConv(in_ch, out_ch, rate, stride=rate,
-                              weight_norm=weight_norm)
+    def __init__(self, in_ch, out_ch, rate, weight_norm=False):
+        self.aa = BinomialAntiAlias(rate * 2 + 1)
+        conv = PReLUConv(in_ch, out_ch, rate, stride=rate,
+                         weight_norm=weight_norm)
+        setattr(self, "1", conv)
 
     def apply(self, params: Params, x: jax.Array) -> jax.Array:
-        if self.antialiasing:
-            x = self.aa({}, x)
-        return self.conv(params["conv"], x)
+        x = self.aa({}, x)
+        return getattr(self, "1")(params["1"], x)
+
+
+def _make_st_conv(in_ch, out_ch, rate, weight_norm=False, antialiasing=False):
+    if antialiasing:
+        return StConv(in_ch, out_ch, rate, weight_norm=weight_norm)
+    return PReLUConv(in_ch, out_ch, rate, stride=rate, weight_norm=weight_norm)
 
 
 class MelAdapter(Module):
@@ -123,8 +128,9 @@ class ConditionerEncoder(Module):
         num_layers = len(ds_factors) - 1
         oc = input_channels * 2 ** len(ds_factors)
         self.st_convs = ModuleList([
-            StConv(c * 2**i, oc, rates[i], weight_norm=use_weight_norm,
-                   antialiasing=use_antialiasing) if i < num_layers else None
+            _make_st_conv(c * 2**i, oc, rates[i], weight_norm=use_weight_norm,
+                          antialiasing=use_antialiasing)
+            if i < num_layers else None
             for i in range(len(ds_factors))
         ])
 

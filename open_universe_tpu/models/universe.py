@@ -61,7 +61,14 @@ class Universe(Module):
         with_noise_target: bool = False,
         detach_cond: bool = False,
         edm: Optional[dict] = None,
+        optimizer: Optional[dict] = None,
+        scheduler: Optional[dict] = None,
+        grad_clipper: Optional[dict] = None,
     ):
+        # optimization configs are consumed by the training loop, not the model
+        self.opt_kwargs = optimizer
+        self.schedule_kwargs = scheduler
+        self.grad_clip_kwargs = grad_clipper
         self.fs = fs
         self.normalization_norm = normalization_norm
         self.normalization_kwargs = _cfg(normalization_kwargs)

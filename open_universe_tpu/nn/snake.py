@@ -93,20 +93,31 @@ class Snake(Module):
         return x + s * s / (beta + self.eps)
 
 
-class AliasFreeSnake(Module):
-    """2x-upsample -> snake -> 2x-downsample (BigVGAN Activation1d)."""
+class Activation1d(Module):
+    """up_ratio x upsample -> activation -> down_ratio x downsample."""
 
-    def __init__(self, channels: int, alpha: float = 1.0, alpha_logscale: bool = False,
-                 beta: bool = False, up_ratio: int = 2, down_ratio: int = 2):
+    def __init__(self, activation: Module, up_ratio: int = 2, down_ratio: int = 2):
         self.up_ratio = up_ratio
         self.down_ratio = down_ratio
-        self.act = Snake(channels, alpha=alpha, alpha_logscale=alpha_logscale, beta=beta)
-
-    def init(self, key) -> Params:
-        # match torch names: act.act.{alpha,beta} (Activation1d wraps Snake)
-        return {"act": {"act": self.act.init(key)}}
+        self.act = activation
 
     def apply(self, params: Params, x: jax.Array) -> jax.Array:
         y = resample(x, 1, self.up_ratio)
-        y = self.act(params["act"]["act"], y)
+        y = self.act(params["act"], y)
         return resample(y, self.down_ratio, 1)
+
+
+class AliasFreeSnake(Module):
+    """2x-upsample -> snake -> 2x-downsample (BigVGAN Activation1d).
+
+    Module nesting matches torch (AliasFreeSnake.act = Activation1d,
+    Activation1d.act = Snake) so parameter names line up for checkpoints."""
+
+    def __init__(self, channels: int, alpha: float = 1.0, alpha_logscale: bool = False,
+                 beta: bool = False, up_ratio: int = 2, down_ratio: int = 2):
+        self.act = Activation1d(
+            Snake(channels, alpha=alpha, alpha_logscale=alpha_logscale, beta=beta),
+            up_ratio=up_ratio, down_ratio=down_ratio)
+
+    def apply(self, params: Params, x: jax.Array) -> jax.Array:
+        return self.act(params["act"], x)
