@@ -1,0 +1,68 @@
+"""Benchmark: batched enhancement throughput on one chip.
+
+Metric: audio-sec/sec/chip for the full enhancement pipeline (1 conditioner
+pass + 8 diffusion score passes, n_steps=8 / epsilon=1.3, the reference's
+default inference cost, cf. BASELINE.md).  Baseline target: 100x real time
+per chip (driver north star), so vs_baseline = value / 100.
+
+Prints exactly one JSON line.
+"""
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--seconds", type=float, default=2.0)
+    ap.add_argument("--n-steps", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--fs", type=int, default=16000)
+    args = ap.parse_args()
+
+    from open_universe_tpu.models.presets import universepp
+
+    model = universepp(fs=args.fs)
+    params = model.init(jax.random.key(0))
+    key = jax.random.key(1)
+
+    t = int(args.seconds * args.fs)
+    mix = jax.random.normal(jax.random.key(2), (args.batch, t)) * 0.05
+
+    @jax.jit
+    def run(params, mix):
+        return model.enhance(params, mix, key=key, n_steps=args.n_steps)
+
+    # compile + warmup
+    out = run(params, mix)
+    out.block_until_ready()
+
+    start = time.perf_counter()
+    for _ in range(args.iters):
+        out = run(params, mix)
+    out.block_until_ready()
+    elapsed = (time.perf_counter() - start) / args.iters
+
+    audio_sec = args.batch * args.seconds
+    rtf = audio_sec / elapsed
+    print(json.dumps({
+        "metric": "batched_enhancement_throughput",
+        "value": round(rtf, 2),
+        "unit": "audio-sec/sec/chip",
+        "vs_baseline": round(rtf / 100.0, 4),
+        "detail": {
+            "batch": args.batch,
+            "clip_seconds": args.seconds,
+            "n_steps": args.n_steps,
+            "step_time_s": round(elapsed, 4),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
