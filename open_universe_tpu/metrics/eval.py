@@ -1,0 +1,86 @@
+"""In-training metric wrapper (reference metrics/eval.py).
+
+Computes LSD always (pure JAX); PESQ/DNSMOS/LPS when their optional deps are
+available — otherwise they are skipped with a one-time warning so training
+does not depend on evaluation-only packages.
+"""
+from __future__ import annotations
+
+import logging
+from collections import defaultdict
+
+import numpy as np
+
+from ..data.audio import resample_audio
+from .lsd import log_spectral_distance
+
+log = logging.getLogger(__name__)
+
+
+class EvalMetrics:
+    def __init__(self, pesq_mode: str = "wb", lps: bool = False,
+                 audio_fs: int = 16000, dnsmos: bool = True):
+        self.mode = pesq_mode
+        self.eval_fs = 16000
+        self.audio_fs = audio_fs
+
+        try:
+            import pesq as _pesq
+
+            self._pesq = _pesq.pesq
+        except ImportError:
+            self._pesq = None
+            log.warning("pesq package unavailable; val/pesq will be skipped")
+
+        self._dnsmos = None
+        if dnsmos:
+            try:
+                from .dnsmos import Compute_DNSMOS
+
+                self._dnsmos = Compute_DNSMOS()
+            except Exception as e:
+                log.warning("DNSMOS unavailable (%s); val/dnsmos-* skipped", e)
+
+        self._lps = None
+        if lps:
+            from .lps import LevenshteinPhonemeSimilarity
+
+            self._lps = LevenshteinPhonemeSimilarity()
+
+    def __call__(self, est, ref) -> dict:
+        """est/ref: (B, 1, T) or (B, T) arrays; returns dict of scalars."""
+        import jax.numpy as jnp
+
+        est = np.asarray(est)
+        ref = np.asarray(ref)
+        if est.ndim == 2:
+            est = est[:, None]
+            ref = ref[:, None]
+
+        metrics = {"lsd": float(np.mean(np.asarray(
+            log_spectral_distance(jnp.asarray(est), jnp.asarray(ref)))))}
+
+        if self.eval_fs != self.audio_fs:
+            est = resample_audio(est, self.audio_fs, self.eval_fs)
+            ref = resample_audio(ref, self.audio_fs, self.eval_fs)
+
+        lists = defaultdict(list)
+        for ii in range(est.shape[0]):
+            try:
+                if self._pesq is not None:
+                    lists["pesq"].append(
+                        self._pesq(self.eval_fs, ref[ii, 0], est[ii, 0],
+                                   self.mode))
+                if self._lps is not None:
+                    lists["lps"].append(self._lps(est[ii, 0], ref[ii, 0]))
+                if self._dnsmos is not None:
+                    d = self._dnsmos(est[ii, 0], self.eval_fs)
+                    for lbl in ("OVRL", "SIG", "BAK"):
+                        lists["dnsmos-" + lbl].append(d[lbl])
+            except Exception as e:  # pragma: no cover
+                log.debug("metric failed on sample %d: %s", ii, e)
+                continue
+
+        for met, vals in lists.items():
+            metrics[met] = float(np.mean(vals))
+        return metrics
