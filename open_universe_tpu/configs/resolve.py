@@ -125,16 +125,42 @@ def compose(config_dir: Union[str, Path], overrides: Optional[List[str]] = None,
             choices.update({k: v for k, v in d.items()})
     # group overrides (key matches a group dir)
     dot_overrides = []
+    cli_group_choices = {}
     for ov in overrides:
         key, _, val = ov.partition("=")
         if "." not in key and (config_dir / key).is_dir():
             choices[key] = val
+            cli_group_choices[key] = val
         else:
             dot_overrides.append(ov)
 
-    cfg: Dict[str, Any] = {}
-    global_overlays = []
     order = [d if isinstance(d, str) else list(d.keys())[0] for d in defaults]
+
+    # first pass: global overlays (experiments) may override group choices via
+    # their own defaults list ("- override /model: xyz"); CLI choices win.
+    cli_choices = cli_group_choices
+    global_overlays = []
+    for group in order:
+        if group == "_self_":
+            continue
+        choice = choices.get(group)
+        if choice is None or choice == "null":
+            continue
+        path = config_dir / group / f"{choice}.yaml"
+        node = load_yaml(path)
+        with open(path) as f:
+            head = f.read(256)
+        if "@package _global_" in head or group == "experiment":
+            overlay_defaults = node.pop("defaults", [])
+            for d in overlay_defaults:
+                if isinstance(d, dict):
+                    for k, v in d.items():
+                        k = k.replace("override ", "").lstrip("/").strip()
+                        if k != "_self_" and k not in cli_choices:
+                            choices[k] = v
+            global_overlays.append(node)
+
+    cfg: Dict[str, Any] = {}
     for group in order:
         if group == "_self_":
             cfg = merge(cfg, root)
@@ -143,13 +169,11 @@ def compose(config_dir: Union[str, Path], overrides: Optional[List[str]] = None,
         if choice is None or choice == "null":
             continue
         path = config_dir / group / f"{choice}.yaml"
-        node = load_yaml(path)
         with open(path) as f:
-            first = f.readline()
-        if "@package _global_" in first or group == "experiment":
-            global_overlays.append(node)
-        else:
-            cfg = merge(cfg, {group: node})
+            head = f.read(256)
+        if "@package _global_" in head or group == "experiment":
+            continue  # handled as overlay below
+        cfg = merge(cfg, {group: load_yaml(path)})
 
     for overlay in global_overlays:
         cfg = merge(cfg, overlay)

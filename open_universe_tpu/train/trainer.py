@@ -1,0 +1,309 @@
+"""Training driver: fit/validate/checkpoint (replaces pytorch-lightning).
+
+Implements the reference's training behavior (SURVEY.md §3.1, §3.4):
+  * score-only (Universe) or two-optimizer GAN (UniverseGAN) steps, jitted
+    over a data-parallel mesh
+  * validation every ``val_check_interval`` steps: binned score loss over
+    5 uniform time bins (feeding the 'adaptive' time-sampling histogram),
+    then real enhancement + metric suite on ``max_enh_batches`` batches
+  * checkpoints via orbax (all kept + 'last', like save_top_k=-1), with the
+    config stored alongside so inference.load_model can ingest them
+  * TensorBoard scalar logging (tensorboardX)
+
+The GAN scheduler steps twice per optimization step, reproducing the
+reference's convention where 600k Lightning steps = 300k generator steps
+(universe_gan.py:230-302, experiment/universepp_vb_16k.yaml).
+"""
+from __future__ import annotations
+
+import json
+import logging
+import math
+import time
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from ..models.universe import Universe
+from ..models.universe_gan import UniverseGAN
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from .ema import ema_apply
+from .optim import adamw, linear_warmup_cosine_annealing, make_clipper
+from .steps import init_train_state, make_gan_train_step, make_train_step
+from ..nn.module import buffer_mask
+
+log = logging.getLogger(__name__)
+
+VAL_SEED = 682479040  # reference universe.py:604
+
+
+def _build_schedule(sch_cfg: Optional[dict], base_lr: float, max_steps: int,
+                    step_factor: int = 1):
+    if sch_cfg is None:
+        return base_lr
+    inner = sch_cfg.get("scheduler", sch_cfg)
+    t_max = inner.get("T_max", max_steps) or max_steps
+    sched = linear_warmup_cosine_annealing(
+        base_lr, inner.get("T_warmup", 0), inner.get("T_cosine", t_max),
+        t_max, inner.get("eta_min", 0.0))
+    if step_factor == 1:
+        return sched
+    return lambda step: sched(step_factor * step)
+
+
+class Trainer:
+    def __init__(self, model: Universe, datamodule, output_dir,
+                 max_steps: int = 600_000, val_check_interval: int = 5000,
+                 seed: int = 0, log_every: int = 25, mesh=None,
+                 max_val_batches: Optional[int] = None,
+                 checkpoint_every: Optional[int] = None,
+                 config: Optional[dict] = None):
+        self.model = model
+        self.dm = datamodule
+        self.output_dir = Path(output_dir)
+        self.max_steps = max_steps
+        self.val_check_interval = val_check_interval
+        self.seed = seed
+        self.log_every = log_every
+        self.max_val_batches = max_val_batches
+        self.checkpoint_every = checkpoint_every or val_check_interval
+        self.config = config
+        self.is_gan = isinstance(model, UniverseGAN)
+        self.mesh = mesh if mesh is not None else make_mesh(tp=1)
+
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        (self.output_dir / "checkpoints").mkdir(exist_ok=True)
+        if config is not None:
+            with open(self.output_dir / "config.yaml", "w") as f:
+                yaml.safe_dump(config, f)
+
+        try:
+            from tensorboardX import SummaryWriter
+
+            self.tb = SummaryWriter(str(self.output_dir / "tb"))
+        except ImportError:  # pragma: no cover
+            self.tb = None
+
+        self._setup()
+
+    # ------------------------------------------------------------------
+    def _setup(self):
+        model = self.model
+        params = model.init(jax.random.key(self.seed))
+        mask = buffer_mask(model, params)
+
+        if self.is_gan:
+            opt = model.opt_kwargs or {}
+            gen_cfg = opt.get("generator", {})
+            disc_cfg = opt.get("discriminator", {})
+            sch = model.schedule_kwargs or {}
+            gen_keys = list(model.model_param_keys())
+            gen_params = {k: params[k] for k in gen_keys}
+            gen_mask = {k: mask[k] for k in gen_keys}
+            sched_g = _build_schedule(sch.get("generator"),
+                                      gen_cfg.get("lr", 2e-4),
+                                      self.max_steps, step_factor=2)
+            sched_d = _build_schedule(sch.get("discriminator"),
+                                      disc_cfg.get("lr", 2e-4),
+                                      self.max_steps, step_factor=2)
+            self.tx = adamw(
+                sched_g, betas=tuple(gen_cfg.get("betas", (0.8, 0.99))),
+                weight_decay=gen_cfg.get("weight_decay", 0.0),
+                weight_decay_exclude=gen_cfg.get("weight_decay_exclude",
+                                                 ("prelu", "bias")),
+                params=gen_params, trainable_mask=gen_mask)
+            self.tx_disc = adamw(
+                sched_d, betas=tuple(disc_cfg.get("betas", (0.8, 0.99))),
+                weight_decay=disc_cfg.get("weight_decay", 0.0))
+            self.state = init_train_state(model, params, self.tx,
+                                          disc_tx=self.tx_disc)
+            self._step_fn = jax.jit(make_gan_train_step(
+                model, self.tx, self.tx_disc,
+                grad_clip_vals=opt.get("grad_clip_vals", {})))
+        else:
+            opt = dict(model.opt_kwargs or {})
+            sched = _build_schedule(model.schedule_kwargs, opt.get("lr", 2e-4),
+                                    self.max_steps)
+            self.tx = adamw(
+                sched, betas=tuple(opt.get("betas", (0.8, 0.99))),
+                weight_decay=opt.get("weight_decay", 0.0),
+                weight_decay_exclude=opt.get("weight_decay_exclude",
+                                             ("prelu", "bias")),
+                params=params, trainable_mask=mask)
+            gc = model.grad_clip_kwargs
+            clipper = make_clipper({k: v for k, v in (gc or {}).items()
+                                    if not k.startswith("_")}) if gc else None
+            self.state = init_train_state(model, params, self.tx,
+                                          clipper=clipper)
+            self._step_fn = jax.jit(make_train_step(model, self.tx,
+                                                    clipper=clipper))
+
+        self.state = replicate(self.mesh, self.state)
+
+        # validation fns (jitted; one compile per val length bucket)
+        self._val_loss_fn = jax.jit(
+            partial(self.model.compute_losses, train=False,
+                    time_sampling="time_uniform"))
+        self._enhance_fn = jax.jit(
+            lambda p, mix, key: self.model.enhance(p, mix, key=key))
+
+        # enhancement metric suite from the model's validation config
+        self.enh_losses = {}
+        for name, cfg in (self.model.val_kwargs.get("enh_losses") or {}).items():
+            from ..configs.registry import instantiate
+
+            try:
+                self.enh_losses[name] = (instantiate(cfg)
+                                         if isinstance(cfg, dict) else cfg)
+            except Exception as e:
+                log.warning("enh loss %s unavailable: %s", name, e)
+
+        self.pr_cum = None
+        self.val_bins = None
+
+    # ------------------------------------------------------------------
+    def _log(self, metrics: Dict[str, Any], step: int):
+        if self.tb is None:
+            return
+        for k, v in metrics.items():
+            try:
+                self.tb.add_scalar(k, float(v), step)
+            except (TypeError, ValueError):
+                pass
+
+    def _eval_params(self):
+        """Parameters used for evaluation: EMA shadow when available."""
+        if "ema" in self.state:
+            return ema_apply(self.state["params"], self.state["ema"])
+        return self.state["params"]
+
+    # ------------------------------------------------------------------
+    def fit(self, resume_from: Optional[str] = None):
+        if resume_from:
+            self.restore(resume_from)
+        step = int(jax.device_get(self.state["step"]))
+        key = jax.random.key(self.seed + 1)
+        train_loader = self.dm.train_dataloader()
+        log.info("starting training at step %d / %d", step, self.max_steps)
+        t0 = time.perf_counter()
+
+        while step < self.max_steps:
+            for batch in train_loader:
+                if step >= self.max_steps:
+                    break
+                key, sub = jax.random.split(key)
+                jbatch = shard_batch(self.mesh, {
+                    "noisy": batch["noisy"], "clean": batch["clean"]})
+                self.state, metrics = self._step_fn(self.state, jbatch, sub)
+                step += 1
+
+                if step % self.log_every == 0:
+                    metrics = jax.device_get(metrics)
+                    dt = (time.perf_counter() - t0) / self.log_every
+                    t0 = time.perf_counter()
+                    metrics["perf/step_time_s"] = dt
+                    self._log(metrics, step)
+                    main = metrics.get("train/loss",
+                                       metrics.get("train/loss_gen", 0.0))
+                    log.info("step %d loss %.4f (%.3fs/step)", step,
+                             float(main), dt)
+
+                if step % self.val_check_interval == 0:
+                    val_metrics = self.validate(step)
+                    self._log(val_metrics, step)
+                if step % self.checkpoint_every == 0:
+                    self.save(step)
+        self.save(step, last=True)
+        return self.state
+
+    # ------------------------------------------------------------------
+    def validate(self, step: int) -> Dict[str, float]:
+        model = self.model
+        n_bins = model.val_kwargs.get("n_bins", 5)
+        max_enh = model.val_kwargs.get("max_enh_batches", 4)
+        key = jax.random.key(VAL_SEED)
+        params = self._eval_params()
+
+        tb = np.linspace(0.0, 1.0, n_bins + 1)
+        bin_scores = np.zeros(n_bins)
+        n_batches = 0
+        enh_metrics: Dict[str, list] = {}
+
+        for bi, batch in enumerate(self.dm.val_dataloader()):
+            if self.max_val_batches is not None and bi >= self.max_val_batches:
+                break
+            mix = jnp.asarray(batch["noisy"])
+            target = jnp.asarray(batch["clean"])
+            (mix_n, target_n), *_ = model.normalize_batch((mix, target))
+            mix_p, _ = model.pad(mix_n)
+            target_p, _ = model.pad(target_n)
+            for i in range(n_bins):
+                key, sub = jax.random.split(key)
+                ls = self._val_loss_fn(params, sub, mix_p, target_p,
+                                       t_min=float(tb[i]),
+                                       t_max=float(tb[i + 1]))
+                bin_scores[i] += float(ls)
+            n_batches += 1
+
+            if bi < max_enh and self.enh_losses:
+                key, sub = jax.random.split(key)
+                est = self._enhance_fn(params, mix, sub)  # (B, T, 1)
+                est_np = np.asarray(est)[:, :, 0][:, None, :]
+                tgt_np = np.asarray(target)[:, :, 0][:, None, :]
+                for name, loss in self.enh_losses.items():
+                    vals = loss(est_np, tgt_np)
+                    if not isinstance(vals, dict):
+                        vals = {"": vals}
+                    for sub_name, v in vals.items():
+                        enh_metrics.setdefault(name + sub_name, []).append(
+                            float(v))
+
+        metrics: Dict[str, float] = {}
+        if n_batches:
+            bin_scores /= n_batches
+            metrics["val/score"] = float(np.mean(bin_scores))
+            for i in range(n_bins):
+                metrics[f"val/score_{tb[i]:.2f}-{tb[i+1]:.2f}"] = bin_scores[i]
+            # adaptive time-sampling histogram (universe.py:630-638)
+            v = np.maximum(bin_scores, 5e-4)
+            pr_cum = np.concatenate([[0.0], np.cumsum(v)])
+            pr_cum /= pr_cum[-1]
+            pr_cum[-1] = 1.0 + 1e-5
+            self.pr_cum = jnp.asarray(pr_cum)
+            self.val_bins = jnp.asarray(tb)
+        for k, vals in enh_metrics.items():
+            metrics[k] = float(np.mean(vals))
+        log.info("validation @%d: %s", step,
+                 {k: round(v, 4) for k, v in metrics.items()})
+        return metrics
+
+    # ------------------------------------------------------------------
+    def save(self, step: int, last: bool = False):
+        import orbax.checkpoint as ocp
+
+        path = self.output_dir / "checkpoints" / f"step_{step:08d}"
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(path.absolute(), jax.device_get(self.state),
+                       force=True)
+        with open(self.output_dir / "checkpoints" / "last.json", "w") as f:
+            json.dump({"step": step, "path": str(path)}, f)
+        log.info("saved checkpoint %s", path)
+
+    def restore(self, path: str):
+        import orbax.checkpoint as ocp
+
+        p = Path(path)
+        if p.is_dir() and (p / "last.json").exists():
+            with open(p / "last.json") as f:
+                p = Path(json.load(f)["path"])
+        with ocp.PyTreeCheckpointer() as ckptr:
+            restored = ckptr.restore(p.absolute(),
+                                     item=jax.device_get(self.state))
+        self.state = replicate(self.mesh, restored)
+        log.info("restored checkpoint %s (step %d)", p,
+                 int(self.state["step"]))

@@ -1,0 +1,80 @@
+"""Training entry point.
+
+Usage (mirrors the reference's hydra CLI, reference train.py):
+
+    python train.py experiment=universepp_vb_16k [key=value ...]
+
+Composes config/ (defaults + experiment overlay + dotlist overrides), seeds
+all RNGs, builds the datamodule/model/trainer, and runs fit (and optionally
+test).  Run dir: exp/<experiment>/<datetime>/.
+"""
+import argparse
+import datetime
+import logging
+import sys
+from pathlib import Path
+
+logging.basicConfig(level=logging.INFO,
+                    format="%(asctime)s %(name)s %(levelname)s %(message)s")
+log = logging.getLogger("train")
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    parser = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    parser.add_argument("overrides", nargs="*",
+                        help="hydra-style overrides: group=choice or a.b=val")
+    parser.add_argument("--config-dir", default=str(Path(__file__).parent / "config"))
+    args = parser.parse_args(argv)
+
+    from open_universe_tpu.configs.resolve import compose
+    from open_universe_tpu.configs.registry import instantiate
+
+    cfg = compose(args.config_dir, args.overrides)
+    experiment = cfg.get("_choices_", {}).get("experiment", "default")
+
+    import numpy as np
+    import jax
+
+    seed = cfg.get("seed", 0)
+    np.random.seed(seed)
+    import random as _random
+
+    _random.seed(seed)
+
+    log.info("devices: %s", jax.devices())
+
+    dm = instantiate(cfg["datamodule"])
+    model = instantiate(cfg["model"])
+
+    run_dir = (Path(cfg.get("path", {}).get("exp_root", "exp")) / experiment
+               / datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S"))
+    log.info("run dir: %s", run_dir)
+
+    from open_universe_tpu.parallel.mesh import make_mesh
+    from open_universe_tpu.train.trainer import Trainer
+
+    tcfg = cfg.get("trainer", {})
+    mesh = make_mesh(dp=tcfg.get("mesh_dp"), tp=tcfg.get("mesh_tp", 1))
+    trainer = Trainer(
+        model, dm, run_dir,
+        max_steps=tcfg.get("max_steps", 600000),
+        val_check_interval=tcfg.get("val_check_interval", 5000),
+        checkpoint_every=tcfg.get("checkpoint_every"),
+        log_every=tcfg.get("log_every", 25),
+        max_val_batches=tcfg.get("max_val_batches"),
+        seed=seed,
+        mesh=mesh,
+        config={k: v for k, v in cfg.items() if not k.startswith("_")},
+    )
+
+    if cfg.get("train", True):
+        trainer.fit(resume_from=cfg.get("ckpt_path"))
+    if cfg.get("test", False):
+        metrics = trainer.validate(int(jax.device_get(trainer.state["step"])))
+        log.info("test metrics: %s", metrics)
+
+
+if __name__ == "__main__":
+    main()
