@@ -1,0 +1,130 @@
+"""Metric evaluation CLI (reference bin/eval_metrics.py).
+
+    python -m open_universe_tpu.bin.eval_metrics enhanced/ --ref_path clean/ \
+        --metrics pesq-wb si-sdr stoi-ext lsd
+
+Incremental per-file JSON results (existing entries are skipped on rerun),
+``.bak`` rotation, and a mean-summary JSON — formats identical to the
+reference so bin.make_table can consume either.
+"""
+import argparse
+import json
+import os
+import shutil
+import sys
+from collections import defaultdict
+from pathlib import Path
+
+import numpy as np
+
+from ..data.audio import load_audio
+from ..metrics import Metrics
+
+
+def backup_file(path: Path):
+    if path.exists():
+        bak = Path(str(path) + ".bak")
+        i = 0
+        while bak.exists():
+            bak = Path(str(path) + f".bak{i}")
+            i += 1
+        shutil.copy2(path, bak)
+
+
+def summarize(results, ignore_inf=True):
+    metrics = set()
+    summary = defaultdict(float)
+    denom = defaultdict(int)
+    for res in results.values():
+        for met, val in res.items():
+            if isinstance(val, str):
+                continue
+            metrics.add(met)
+            if ignore_inf or not np.isinf(val):
+                summary[met] += val
+                denom[met] += 1
+        summary["number"] += 1
+    for met in metrics:
+        summary[met] = summary[met] / max(denom[met], 1)
+    return dict(summary)
+
+
+def prepare(ref_path, deg_path, results_path):
+    results = {}
+    if results_path.exists():
+        with open(results_path) as f:
+            results = json.load(f)
+    paths = {p.stem: {"deg": p, "ref": None} for p in deg_path.rglob("*.wav")}
+    if ref_path is not None:
+        for label in paths:
+            rp = ref_path / f"{label}.wav"
+            if rp.exists():
+                paths[label]["ref"] = rp
+    missing = [lbl for lbl in results if lbl not in paths]
+    if missing:
+        raise ValueError(f"results reference missing files: {missing[:5]}")
+    for lbl in paths:
+        results.setdefault(lbl, {})
+    return results, paths
+
+
+def load_files(pd):
+    deg, fs = load_audio(pd["deg"])
+    if deg.shape[0] > 1:
+        raise ValueError("expected mono data")
+    ref = None
+    if pd.get("ref") is not None:
+        ref, fs_ref = load_audio(pd["ref"])
+        if fs != fs_ref:
+            raise ValueError("ref and deg must share a sampling frequency")
+        ref = ref[0]
+    return fs, deg[0], ref
+
+
+def save_results(results, results_path, summary_path):
+    backup_file(results_path)
+    with open(results_path, "w") as f:
+        json.dump(results, f, indent=2)
+    backup_file(summary_path)
+    with open(summary_path, "w") as f:
+        json.dump(summarize(results), f, indent=2)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Run evaluation on an enhanced speech folder")
+    parser.add_argument("enhanced_path", type=Path)
+    parser.add_argument("--ref_path", type=Path)
+    parser.add_argument("--result_dir", type=Path)
+    parser.add_argument("--metrics", nargs="+",
+                        choices=Metrics.get_metric_names())
+    parser.add_argument("--save-every", type=int, default=100)
+    args = parser.parse_args(argv)
+
+    deg_path = args.enhanced_path
+    ds_name = deg_path.stem
+    result_dir = args.result_dir or deg_path.parent
+    result_dir.mkdir(parents=True, exist_ok=True)
+    if not os.access(result_dir, os.W_OK):
+        raise PermissionError(f"{result_dir} is not writable")
+
+    results_path = result_dir / f"{ds_name}.json"
+    summary_path = result_dir / f"{ds_name}_summary.json"
+    results, paths = prepare(args.ref_path, deg_path, results_path)
+
+    computer = Metrics(metrics=args.metrics)
+    for n, label in enumerate(sorted(results)):
+        fs, deg, ref = load_files(paths[label])
+        skip = set(results[label].keys())
+        results[label].update(computer(fs, deg, ref, skip_list=skip))
+        if (n + 1) % args.save_every == 0:
+            save_results(results, results_path, summary_path)
+            print(f"[{n + 1}/{len(results)}]", file=sys.stderr)
+
+    save_results(results, results_path, summary_path)
+    print(json.dumps(summarize(results), indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
