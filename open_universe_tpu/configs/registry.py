@@ -181,3 +181,35 @@ for _n in ("torch.optim.AdamW", "torch.optim.Adam", "torch.nn.MSELoss",
     def _passthrough(_name=_n, **kw):
         return {"_target_": _name, **kw}
     _REGISTRY[_n] = _passthrough
+
+
+@register(*_both("networks.universe.UniverseLoRA"))
+def build_universe_lora(**kw):
+    from ..models.universe_lora import UniverseLoRA
+
+    model = kw.pop("model")
+    if isinstance(model, dict):
+        model = instantiate(model)
+    # losses/enh_losses configs are instantiated inside UniverseLoRA
+    return UniverseLoRA(model=model, **kw)
+
+
+@register(*_both("losses.PhonemeCTCLoss"))
+def build_phoneme_ctc_loss(**kw):
+    from ..losses.phoneme_loss import PhonemeCTCLoss
+
+    return PhonemeCTCLoss(**kw)
+
+
+@register(*_both("losses.PhonemeLoss"))
+def build_phoneme_loss(**kw):
+    from ..losses.phoneme_loss import PhonemeLoss
+
+    return PhonemeLoss(**kw)
+
+
+@register(*_both("losses.PhonemeEmbeddingLoss"))
+def build_phoneme_embedding_loss(**kw):
+    from ..losses.phoneme_loss import PhonemeEmbeddingLoss
+
+    return PhonemeEmbeddingLoss(**kw)

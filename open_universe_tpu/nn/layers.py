@@ -22,6 +22,13 @@ def _uniform(key, shape, bound):
     return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
 
 
+def _lora_inner(params):
+    """LoRA-injected nodes nest the base leaves under 'conv' (see nn/lora.py)."""
+    if "lora_weight_a" in params:
+        return params["conv"], True
+    return params, False
+
+
 class Conv1d(Module):
     """Weight layout (K, Cin//groups, Cout) = torch (Cout, Cin//g, K).T(2,1,0).
 
@@ -59,16 +66,25 @@ class Conv1d(Module):
         return p
 
     def weight(self, params: Params) -> jax.Array:
+        params, _ = _lora_inner(params)
         if self.weight_norm:
             v = params["weight_v"]
             g = params["weight_g"]
             norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True))
-            return g[None, None, :] * v / jnp.maximum(norm, 1e-12)
-        return params["weight"]
+            w = g[None, None, :] * v / jnp.maximum(norm, 1e-12)
+        else:
+            w = params["weight"]
+        return w
 
     def apply(self, params: Params, x: jax.Array) -> jax.Array:
+        w = self.weight(params)
+        if "lora_weight_a" in params:
+            from .lora import lora_delta
+
+            w = w + lora_delta(self, params)
+        params, _ = _lora_inner(params)
         return ops_conv.conv1d(
-            x, self.weight(params), params.get("bias"),
+            x, w, params.get("bias"),
             stride=self.stride, padding=self.padding,
             dilation=self.dilation, groups=self.groups,
         )
@@ -109,6 +125,7 @@ class ConvTranspose1d(Module):
         return p
 
     def weight(self, params: Params) -> jax.Array:
+        params, _ = _lora_inner(params)
         if self.weight_norm:
             v = params["weight_v"]
             g = params["weight_g"]
@@ -117,8 +134,14 @@ class ConvTranspose1d(Module):
         return params["weight"]
 
     def apply(self, params: Params, x: jax.Array) -> jax.Array:
+        w = self.weight(params)
+        if "lora_weight_a" in params:
+            from .lora import lora_delta
+
+            w = w + lora_delta(self, params)
+        params, _ = _lora_inner(params)
         return ops_conv.conv_transpose1d(
-            x, self.weight(params), params.get("bias"),
+            x, w, params.get("bias"),
             stride=self.stride, padding=self.padding,
         )
 
@@ -147,6 +170,7 @@ class Linear(Module):
         return p
 
     def weight(self, params: Params) -> jax.Array:
+        params, _ = _lora_inner(params)
         if self.weight_norm:
             v = params["weight_v"]
             g = params["weight_g"]
@@ -155,7 +179,13 @@ class Linear(Module):
         return params["weight"]
 
     def apply(self, params: Params, x: jax.Array) -> jax.Array:
-        return ops_conv.linear(x, self.weight(params), params.get("bias"))
+        w = self.weight(params)
+        if "lora_weight_a" in params:
+            from .lora import lora_delta
+
+            w = w + lora_delta(self, params)
+        params, _ = _lora_inner(params)
+        return ops_conv.linear(x, w, params.get("bias"))
 
 
 class PReLU(Module):

@@ -96,6 +96,11 @@ class Trainer:
         model = self.model
         params = model.init(jax.random.key(self.seed))
         mask = buffer_mask(model, params)
+        if hasattr(model, "trainable_mask"):
+            # LoRA-style freezing: intersect with the model's trainable mask
+            tmask = model.trainable_mask(params)
+            mask = jax.tree_util.tree_map(lambda a, b: bool(a) and bool(b),
+                                          mask, tmask)
 
         if self.is_gan:
             opt = model.opt_kwargs or {}
