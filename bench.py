@@ -17,11 +17,13 @@ import jax.numpy as jnp
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--seconds", type=float, default=2.0)
     ap.add_argument("--n-steps", type=int, default=8)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--fs", type=int, default=16000)
+    ap.add_argument("--dtype", choices=["bf16", "f32"], default="bf16",
+                    help="network compute dtype (sampler math stays f32)")
     args = ap.parse_args()
 
     from open_universe_tpu.models.presets import universepp
@@ -29,13 +31,15 @@ def main():
     model = universepp(fs=args.fs)
     params = model.init(jax.random.key(0))
     key = jax.random.key(1)
+    cdt = jnp.bfloat16 if args.dtype == "bf16" else None
 
     t = int(args.seconds * args.fs)
     mix = jax.random.normal(jax.random.key(2), (args.batch, t)) * 0.05
 
     @jax.jit
     def run(params, mix):
-        return model.enhance(params, mix, key=key, n_steps=args.n_steps)
+        return model.enhance(params, mix, key=key, n_steps=args.n_steps,
+                             compute_dtype=cdt)
 
     # compile + warmup
     out = run(params, mix)
@@ -55,6 +59,7 @@ def main():
         "unit": "audio-sec/sec/chip",
         "vs_baseline": round(rtf / 100.0, 4),
         "detail": {
+            "dtype": args.dtype,
             "batch": args.batch,
             "clip_seconds": args.seconds,
             "n_steps": args.n_steps,

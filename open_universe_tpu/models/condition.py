@@ -90,18 +90,20 @@ class MelAdapter(Module):
         which feeds (B, C*T) through its mel transform via ds_factor scaling).
         """
         b, t, c = x.shape
-        xw = jnp.swapaxes(x, 1, 2).reshape(b, c * t)
+        dtype = x.dtype
+        # the STFT itself always runs in fp32 (XLA FFT precision)
+        xw = jnp.swapaxes(x, 1, 2).reshape(b, c * t).astype(jnp.float32)
         r = xw.shape[-1] % self.ds_factor
         pad = self.ds_factor - r if r != 0 else 0
         xw = jnp.pad(xw, ((0, 0), (self.pad_left, pad + self.pad_right)))
         spec = spectrogram(xw, self.n_fft, self.ds_factor, power=2.0)  # (B,F,freq)
         fb = mel_filterbank(self.n_fft // 2 + 1, self.n_mels,
-                            self.CLAIMED_SAMPLE_RATE).astype(x.dtype)
-        mel = jnp.matmul(spec, fb, preferred_element_type=spec.dtype)  # (B,F,mels)
+                            self.CLAIMED_SAMPLE_RATE)
+        mel = jnp.matmul(spec, fb, preferred_element_type=jnp.float32)  # (B,F,mels)
         # unit average frame energy (condition.py:105-106)
         norm = jnp.sqrt(jnp.mean(jnp.sum(mel * mel, axis=-1, keepdims=True),
                                  axis=-2, keepdims=True))
-        return mel / jnp.maximum(norm, 1e-5)
+        return (mel / jnp.maximum(norm, 1e-5)).astype(dtype)
 
     def apply(self, params: Params, x: jax.Array) -> jax.Array:
         m = self.compute_mel_spec(x)

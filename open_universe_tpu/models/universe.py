@@ -336,12 +336,25 @@ class Universe(Module):
         ensemble: Optional[int] = None,
         ensemble_stat: str = "median",
         warm_start: Optional[int] = None,
+        compute_dtype: Optional[Any] = None,
     ) -> jax.Array:
         """Iterative score-based enhancement (reference universe.py:231-375).
 
         mix: (T,), (B, T) or (B, T, C) waveform.  All sizing arguments are
         static; wrap in jax.jit with the corresponding static_argnames.
+
+        compute_dtype: run the score/conditioner networks in this dtype
+        (e.g. jnp.bfloat16 for ~1.4x throughput on TPU) while sampler state,
+        normalization, and the STFT front-end stay float32.
         """
+        if compute_dtype is not None:
+            nets = {k: jax.tree_util.tree_map(
+                        lambda a: a.astype(compute_dtype)
+                        if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                        params[k])
+                    for k in self.model_param_keys() if k in params}
+            params = {**params, **nets}
+        net_dtype = compute_dtype or jnp.float32
         if key is None:
             key = jax.random.key(0)
         if epsilon is None:
@@ -385,7 +398,9 @@ class Universe(Module):
 
         def score_fn(x, s, cond, k):
             if target_t is None:
-                return self.score(params, x, s, cond)
+                return self.score(params, x.astype(net_dtype),
+                                  s.astype(net_dtype), cond
+                                  ).astype(jnp.float32)
             true_score = -(x - target_t) / s[:, None, None] ** 2
             score_rms = jnp.sqrt(jnp.mean(true_score**2))
             noise_rms = score_rms * 10.0 ** (-score_snr / 20.0)
@@ -403,10 +418,13 @@ class Universe(Module):
         bsz = mix.shape[0]
 
         cond, aux_signal, _ = self.condition_model(
-            params["condition_model"], mix, x_wav=mix_wav, train=True)
+            params["condition_model"], mix.astype(net_dtype),
+            x_wav=mix_wav.astype(net_dtype), train=True)
+        aux_signal = aux_signal.astype(jnp.float32)
 
         if use_aux_signal:
-            x = self.aux_to_wav(params, aux_signal)
+            x = self.aux_to_wav(params, aux_signal.astype(net_dtype)
+                                ).astype(jnp.float32)
         else:
             k_init, k_loop = jax.random.split(key)
             if warm_start is None:

@@ -58,7 +58,8 @@ def conv1d(
         rhs_dilation=(dilation,),
         dimension_numbers=_DIMNUMS,
         feature_group_count=groups,
-    )
+        preferred_element_type=jnp.float32,  # fp32 MXU accumulation
+    ).astype(x.dtype)
     if b is not None:
         y = y + b.astype(y.dtype)
     return y
@@ -90,7 +91,8 @@ def conv_transpose1d(
         padding=((lo, hi),),
         lhs_dilation=(stride,),
         dimension_numbers=_DIMNUMS,
-    )
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
     if b is not None:
         y = y + b.astype(y.dtype)
     return y
@@ -133,7 +135,8 @@ def pad_to_multiple(x: jax.Array, multiple: int, axis: int = 1, centered: bool =
 
 def linear(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:
     """Dense layer; w: (In, Out) (torch Linear weight transposed at load)."""
-    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=x.dtype)
+    y = jnp.dot(x, w.astype(x.dtype),
+                preferred_element_type=jnp.float32).astype(x.dtype)
     if b is not None:
         y = y + b.astype(y.dtype)
     return y

@@ -62,7 +62,8 @@ class Trainer:
                  seed: int = 0, log_every: int = 25, mesh=None,
                  max_val_batches: Optional[int] = None,
                  checkpoint_every: Optional[int] = None,
-                 config: Optional[dict] = None):
+                 config: Optional[dict] = None,
+                 profile_steps: Optional[tuple] = None):
         self.model = model
         self.dm = datamodule
         self.output_dir = Path(output_dir)
@@ -73,6 +74,8 @@ class Trainer:
         self.max_val_batches = max_val_batches
         self.checkpoint_every = checkpoint_every or val_check_interval
         self.config = config
+        self.profile_steps = profile_steps  # (start, stop) -> jax trace dump
+        self._first_val_done = False
         self.is_gan = isinstance(model, UniverseGAN)
         self.mesh = mesh if mesh is not None else make_mesh(tp=1)
 
@@ -204,8 +207,18 @@ class Trainer:
                 key, sub = jax.random.split(key)
                 jbatch = shard_batch(self.mesh, {
                     "noisy": batch["noisy"], "clean": batch["clean"]})
+                if self.profile_steps and step == self.profile_steps[0]:
+                    jax.profiler.start_trace(str(self.output_dir / "profile"))
                 self.state, metrics = self._step_fn(self.state, jbatch, sub)
                 step += 1
+                if self.profile_steps and step == self.profile_steps[1]:
+                    jax.tree_util.tree_map(
+                        lambda x: x.block_until_ready()
+                        if hasattr(x, "block_until_ready") else x,
+                        metrics)
+                    jax.profiler.stop_trace()
+                    log.info("profiler trace written to %s",
+                             self.output_dir / "profile")
 
                 if step % self.log_every == 0:
                     metrics = jax.device_get(metrics)
@@ -260,6 +273,8 @@ class Trainer:
                 est = self._enhance_fn(params, mix, sub)  # (B, T, 1)
                 est_np = np.asarray(est)[:, :, 0][:, None, :]
                 tgt_np = np.asarray(target)[:, :, 0][:, None, :]
+                self._log_audio_samples(step, bi, np.asarray(batch["noisy"]),
+                                        tgt_np, est_np)
                 for name, loss in self.enh_losses.items():
                     vals = loss(est_np, tgt_np)
                     if not isinstance(vals, dict):
@@ -286,6 +301,33 @@ class Trainer:
         log.info("validation @%d: %s", step,
                  {k: round(v, 4) for k, v in metrics.items()})
         return metrics
+
+    def _log_audio_samples(self, step, batch_idx, mix, tgt, est):
+        """Loudness-matched validation audio in TensorBoard
+        (reference universe.py:662-704)."""
+        num = self.model.val_kwargs.get("num_tb_samples", 0)
+        if self.tb is None or num <= 0 or batch_idx > 0:
+            return
+        from ..metrics.loudness import loudness
+
+        fs = self.model.fs
+        for idx in range(min(num, est.shape[0])):
+            mix_i = mix[idx, :, 0]
+            mix_norm = mix_i * 0.95 / max(np.max(np.abs(mix_i)), 1e-9)
+            mix_loud = loudness(mix_i, fs)
+            if not self._first_val_done:
+                self.tb.add_audio(f"mix/{idx}", mix_norm[:, None], step,
+                                  sample_rate=fs)
+                tgt_loud = loudness(tgt[idx, 0], fs)
+                gain = 10.0 ** ((mix_loud - tgt_loud) / 20.0)
+                self.tb.add_audio(f"target/{idx}",
+                                  (tgt[idx, 0] * gain)[:, None], step,
+                                  sample_rate=fs)
+            est_loud = loudness(est[idx, 0], fs)
+            gain = 10.0 ** ((mix_loud - est_loud) / 20.0)
+            self.tb.add_audio(f"enh/{idx}", (est[idx, 0] * gain)[:, None],
+                              step, sample_rate=fs)
+        self._first_val_done = True
 
     # ------------------------------------------------------------------
     def save(self, step: int, last: bool = False):

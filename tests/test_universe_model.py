@@ -157,3 +157,15 @@ def test_enhance_warm_start():
     est = model.enhance(params, mix, key=jax.random.key(2), n_steps=4,
                         warm_start=2)
     assert est.shape == (1, 480)
+
+
+def test_enhance_bf16_compute_dtype():
+    model = _make_universe()
+    params = model.init(jax.random.key(0))
+    mix = jax.random.normal(jax.random.key(1), (2, 480)) * 0.1
+    o32 = model.enhance(params, mix, key=jax.random.key(2), n_steps=2)
+    o16 = model.enhance(params, mix, key=jax.random.key(2), n_steps=2,
+                        compute_dtype=jnp.bfloat16)
+    assert o16.dtype == jnp.float32
+    err = float(jnp.linalg.norm(o32 - o16) / jnp.linalg.norm(o32))
+    assert err < 0.1, err
