@@ -195,6 +195,30 @@ class ConvBlock(Module):
         else:
             raise ValueError("signal_cond_type must be linear|none")
 
+    def _fused_eligible(self, params: Params, h: jax.Array) -> bool:
+        """The Pallas fused conv chain applies to the plain-PReLU inference
+        configuration: folded weights (no weight-norm/LoRA leaves), single-
+        parameter PReLU slopes, additive signal conditioning, and a time axis
+        long enough to amortize the tile halo."""
+        from ..ops import pallas as pallas_config
+
+        if not pallas_config.enabled():
+            return False
+        if self.signal_cond_proj is not None:
+            return False
+        if h.shape[1] < 1024 or h.shape[2] > 256:
+            return False
+        for name in ("conv1", "conv2", "conv3"):
+            conv = getattr(self, name)
+            if conv.act_type != "prelu":
+                return False
+            node = params[name]
+            if "weight" not in node.get("conv", {}):
+                return False  # weight-normed or LoRA-wrapped
+            if node["prelu"]["weight"].shape != (1,):
+                return False
+        return True
+
     def apply(
         self,
         params: Params,
@@ -220,22 +244,40 @@ class ConvBlock(Module):
                 raise ValueError("residual input not allowed for down blocks")
             h = (h + res) * SQRT_HALF
 
-        cond_out = self.conv1(params["conv1"], h)
-        if input_cond is not None:
-            if self.signal_cond_proj is None:
-                c = (cond_out + input_cond) * SQRT_HALF
-            else:
-                c = self.signal_cond_proj(params["signal_cond_proj"], cond_out,
-                                          input_cond)
+        if self._fused_eligible(params, h):
+            from ..ops.pallas.conv_block import fused_conv_chain
+
+            v_out, cond_out = fused_conv_chain(
+                h,
+                params["conv1"]["conv"]["weight"],
+                params["conv1"]["conv"]["bias"],
+                params["conv1"]["prelu"]["weight"],
+                params["conv2"]["conv"]["weight"],
+                params["conv2"]["conv"]["bias"],
+                params["conv2"]["prelu"]["weight"],
+                params["conv3"]["conv"]["weight"],
+                params["conv3"]["conv"]["bias"],
+                params["conv3"]["prelu"]["weight"],
+                noise_cond=noise_cond,
+                input_cond=input_cond,
+            )
         else:
-            c = cond_out
+            cond_out = self.conv1(params["conv1"], h)
+            if input_cond is not None:
+                if self.signal_cond_proj is None:
+                    c = (cond_out + input_cond) * SQRT_HALF
+                else:
+                    c = self.signal_cond_proj(params["signal_cond_proj"],
+                                              cond_out, input_cond)
+            else:
+                c = cond_out
 
-        if noise_cond is not None:
-            c = film(c, noise_cond)
-        c = self.conv2(params["conv2"], c)
-        c = self.conv3(params["conv3"], c)
+            if noise_cond is not None:
+                c = film(c, noise_cond)
+            c = self.conv2(params["conv2"], c)
+            c = self.conv3(params["conv3"], c)
 
-        v_out = (h + c) * SQRT_HALF
+            v_out = (h + c) * SQRT_HALF
 
         if self.rate_change_dir == "down":
             r = h.shape[1] % self.rate
