@@ -193,6 +193,11 @@ class Universe(Module):
     def aux_to_wav(self, params: Params, y_aux):
         return y_aux
 
+    def _cond_train(self, cond_params, mix_trans, mix_wav):
+        """Conditioner forward (train mode); separated for jax.checkpoint."""
+        return self.condition_model(cond_params, mix_trans, x_wav=mix_wav,
+                                    train=True)
+
     # ----------------------------------------------------------- time sampling
     def sample_sigma(self, key, batch_size: int, time_sampling="time_uniform",
                      t_min=0.0, t_max=1.0, pr_cum=None, bins=None):
@@ -271,12 +276,16 @@ class Universe(Module):
         z = jax.random.normal(k_noise, tgt_trans.shape, tgt_trans.dtype)
         x_t = tgt_trans + sigma[:, None, None] * z
 
-        cond, y_est, h_est = self.condition_model(
-            params["condition_model"], mix_trans, x_wav=mix, train=True)
+        remat = train and self.train_kwargs.get("remat", False)
+        cond_fn = (jax.checkpoint(self._cond_train)
+                   if remat else self._cond_train)
+        score_fn = jax.checkpoint(self.score) if remat else self.score
+
+        cond, y_est, h_est = cond_fn(params["condition_model"], mix_trans, mix)
         if self.detach_cond:
             cond = [jax.lax.stop_gradient(c) for c in cond]
 
-        score = self.score(params, x_t, sigma, cond)
+        score = score_fn(params, x_t, sigma, cond)
         l_score = jnp.mean(jnp.square(sigma[:, None, None] * score + z))
 
         if not train:

@@ -90,12 +90,16 @@ class UniverseGAN(Universe):
         z = jax.random.normal(k_noise, target_t.shape, target_t.dtype)
         x_t = target_t + sigma[:, None, None] * z
 
-        cond, y_est, _ = self.condition_model(
-            params["condition_model"], mix_t, train=True)
+        remat = self.train_kwargs.get("remat", False)
+        cond_fn = (jax.checkpoint(self._cond_train)
+                   if remat else self._cond_train)
+        score_fn = jax.checkpoint(self.score) if remat else self.score
+
+        cond, y_est, _ = cond_fn(params["condition_model"], mix_t, mix_t)
         if self.detach_cond:
             cond = [jax.lax.stop_gradient(c) for c in cond]
 
-        score = self.score(params, x_t, sigma, cond)
+        score = score_fn(params, x_t, sigma, cond)
 
         if self.signal_decoupling_layer is not None:
             y_est = self.signal_decoupling_layer(

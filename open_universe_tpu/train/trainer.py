@@ -105,8 +105,11 @@ class Trainer:
             mask = jax.tree_util.tree_map(lambda a, b: bool(a) and bool(b),
                                           mask, tmask)
 
+        import optax
+
         if self.is_gan:
             opt = model.opt_kwargs or {}
+            accum = opt.get("accumulate_grad_batches", 1)
             gen_cfg = opt.get("generator", {})
             disc_cfg = opt.get("discriminator", {})
             sch = model.schedule_kwargs or {}
@@ -128,6 +131,10 @@ class Trainer:
             self.tx_disc = adamw(
                 sched_d, betas=tuple(disc_cfg.get("betas", (0.8, 0.99))),
                 weight_decay=disc_cfg.get("weight_decay", 0.0))
+            if accum and accum > 1:
+                self.tx = optax.MultiSteps(self.tx, every_k_schedule=accum)
+                self.tx_disc = optax.MultiSteps(self.tx_disc,
+                                                every_k_schedule=accum)
             self.state = init_train_state(model, params, self.tx,
                                           disc_tx=self.tx_disc)
             self._step_fn = jax.jit(make_gan_train_step(
@@ -143,6 +150,9 @@ class Trainer:
                 weight_decay_exclude=opt.get("weight_decay_exclude",
                                              ("prelu", "bias")),
                 params=params, trainable_mask=mask)
+            accum = opt.get("accumulate_grad_batches", 1)
+            if accum and accum > 1:
+                self.tx = optax.MultiSteps(self.tx, every_k_schedule=accum)
             gc = model.grad_clip_kwargs
             clipper = make_clipper({k: v for k, v in (gc or {}).items()
                                     if not k.startswith("_")}) if gc else None
