@@ -109,10 +109,10 @@ class DiscriminatorR(Module):
         """x: (B, T, C) -> magnitude (B, F, TT, C) (freq on H, frames on W)."""
         n_fft, hop, win = self.resolution
         pad = int((n_fft - hop) / 2)
-        xw = jnp.moveaxis(x, -1, 1)  # (B, C, T)
+        xw = jnp.moveaxis(x, -1, 1).astype(jnp.float32)  # (B, C, T); f32 FFT
         xw = jnp.pad(xw, ((0, 0), (0, 0), (pad, pad)), mode="reflect")
         z = _stft(xw, n_fft, hop, win_length=win, center=False)
-        mag = jnp.abs(z)  # (B, C, frames, freq)
+        mag = jnp.abs(z).astype(x.dtype)  # (B, C, frames, freq)
         return jnp.transpose(mag, (0, 3, 2, 1))  # (B, freq, frames, C)
 
     def apply(self, params: Params, x: jax.Array):

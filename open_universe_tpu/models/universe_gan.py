@@ -73,13 +73,33 @@ class UniverseGAN(Universe):
         return y_aux
 
     # --------------------------------------------------------------- GAN parts
+    def _train_dtype(self):
+        cd = self.train_kwargs.get("compute_dtype")
+        if cd in ("bf16", "bfloat16"):
+            return jnp.bfloat16
+        return None
+
+    def _cast_tree(self, tree, dtype):
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, tree)
+
     def generator_forward(self, params: Params, key, mix, target,
                           target_original):
         """One forward pass of the generator nets.
 
         Inputs are already normalized.  Returns everything the GAN losses
-        need; gradients flow to generator params only.
+        need; gradients flow to generator params only.  With
+        training.compute_dtype=bf16 the networks run in bfloat16 (losses and
+        parameters stay float32 — mixed precision).
         """
+        dt = self._train_dtype()
+        if dt is not None:
+            keys = [k for k in self.model_param_keys() if k in params]
+            params = {**params,
+                      **{k: self._cast_tree(params[k], dt) for k in keys}}
+            mix = mix.astype(dt)
+            target = target.astype(dt)
         k_sigma, k_noise = jax.random.split(key)
         tp = params.get("transform", {})
         mix_t = self.transform(tp, mix)
@@ -111,22 +131,31 @@ class UniverseGAN(Universe):
             target_original)
 
         return {
-            "y_est": y_est,
-            "score": score,
-            "sigma": sigma,
-            "z": z,
-            "mel_y_est": mel_y_est,
-            "mel_target": mel_target,
+            "y_est": y_est.astype(jnp.float32),
+            "score": score.astype(jnp.float32),
+            "sigma": sigma.astype(jnp.float32),
+            "z": z.astype(jnp.float32),
+            "mel_y_est": mel_y_est.astype(jnp.float32),
+            "mel_target": mel_target.astype(jnp.float32),
         }
 
     def discriminator_losses(self, disc_params: Params, y_est, target_original):
         """LSGAN discriminator loss; caller stop-gradients y_est."""
+        dt = self._train_dtype()
+        if dt is not None:
+            disc_params = self._cast_tree(disc_params, dt)
+            y_est = y_est.astype(dt)
+            target_original = target_original.astype(dt)
         y_df_r, y_df_g, _, _ = self.loss_mpd(
             disc_params["loss_mpd"], target_original, y_est)
-        loss_f, _, _ = discriminator_loss(y_df_r, y_df_g)
+        loss_f, _, _ = discriminator_loss(
+            [y.astype(jnp.float32) for y in y_df_r],
+            [y.astype(jnp.float32) for y in y_df_g])
         y_ds_r, y_ds_g, _, _ = self.loss_mrd(
             disc_params["loss_mrd"], target_original, y_est)
-        loss_s, _, _ = discriminator_loss(y_ds_r, y_ds_g)
+        loss_s, _, _ = discriminator_loss(
+            [y.astype(jnp.float32) for y in y_ds_r],
+            [y.astype(jnp.float32) for y in y_ds_g])
         loss = loss_f + loss_s
         return loss, {"train/loss_disc": loss, "train/loss_mpd": loss_f,
                       "train/loss_mrd": loss_s}
@@ -152,15 +181,25 @@ class UniverseGAN(Universe):
             loss_aux = jnp.zeros((), l_score.dtype)
 
         y_est = gen_out["y_est"]
+        dt = self._train_dtype()
+        if dt is not None:
+            disc_params = self._cast_tree(disc_params, dt)
+            y_est = y_est.astype(dt)
+            target_original = target_original.astype(dt)
+
+        def _f32(seq):
+            return [jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32), s) for s in seq]
+
         y_df_r, y_df_g, fmap_f_r, fmap_f_g = self.loss_mpd(
             disc_params["loss_mpd"], target_original, y_est)
-        loss_fm_f = feature_loss(fmap_f_r, fmap_f_g)
-        loss_gen_f, _ = generator_loss(y_df_g)
+        loss_fm_f = feature_loss(_f32(fmap_f_r), _f32(fmap_f_g))
+        loss_gen_f, _ = generator_loss(_f32(y_df_g))
 
         y_ds_r, y_ds_g, fmap_s_r, fmap_s_g = self.loss_mrd(
             disc_params["loss_mrd"], target_original, y_est)
-        loss_fm_s = feature_loss(fmap_s_r, fmap_s_g)
-        loss_gen_s, _ = generator_loss(y_ds_g)
+        loss_fm_s = feature_loss(_f32(fmap_s_r), _f32(fmap_s_g))
+        loss_gen_s, _ = generator_loss(_f32(y_ds_g))
 
         loss = (l_score * w.get("score", 1.0)
                 + loss_mel * w.get("mel_l1", 45.0)

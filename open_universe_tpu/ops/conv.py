@@ -58,8 +58,10 @@ def conv1d(
         rhs_dilation=(dilation,),
         dimension_numbers=_DIMNUMS,
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,  # fp32 MXU accumulation
-    ).astype(x.dtype)
+        # NOTE: no preferred_element_type here — its conv transpose rule
+        # produces mixed-dtype convs under autodiff in this JAX version; the
+        # TPU MXU accumulates bf16 convolutions in f32 natively anyway.
+    )
     if b is not None:
         y = y + b.astype(y.dtype)
     return y
@@ -91,8 +93,7 @@ def conv_transpose1d(
         padding=((lo, hi),),
         lhs_dilation=(stride,),
         dimension_numbers=_DIMNUMS,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     if b is not None:
         y = y + b.astype(y.dtype)
     return y
