@@ -244,10 +244,11 @@ class ConvBlock(Module):
                 raise ValueError("residual input not allowed for down blocks")
             h = (h + res) * SQRT_HALF
 
+        fused = None
         if self._fused_eligible(params, h):
             from ..ops.pallas.conv_block import fused_conv_chain
 
-            v_out, cond_out = fused_conv_chain(
+            fused = fused_conv_chain(
                 h,
                 params["conv1"]["conv"]["weight"],
                 params["conv1"]["conv"]["bias"],
@@ -261,6 +262,8 @@ class ConvBlock(Module):
                 noise_cond=noise_cond,
                 input_cond=input_cond,
             )
+        if fused is not None:
+            v_out, cond_out = fused
         else:
             cond_out = self.conv1(params["conv1"], h)
             if input_cond is not None:

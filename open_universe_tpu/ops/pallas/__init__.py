@@ -16,10 +16,11 @@ def enable(flag: bool = True, interpret: bool = False):
 
 def enabled() -> bool:
     # Off by default: the fused ConvBlock kernel is numerically verified on
-    # TPU but not yet faster than XLA end-to-end (the manual-DMA halo path
-    # serializes DMA against compute and the pack/unpack pads add traversals).
-    # A pipelined redesign (double-buffered halo windows) is planned; enable
-    # explicitly to experiment.
+    # TPU (f32 + bf16, all channel widths) but measured ~2x slower than XLA's
+    # own fusion of the conv chain at these shapes, even with zero-copy lane
+    # packing — the per-tile halo DMA is not overlapped with compute and
+    # XLA's conv emitter is strong at C>=32 NWC convs.  Kept as a verified
+    # building block; enable explicitly to experiment.
     if _STATE["enabled"] is not None:
         return _STATE["enabled"]
     return False

@@ -11,20 +11,28 @@ is memory-bound in XLA at the shallow network levels (C = 32..128 at
 T = 16k..32k: ~12 HBM traversals of large activations) and wastes MXU lanes
 (C < 128).  This kernel:
 
-  * packs P = 128 // C consecutive samples into the lane dimension, so every
-    row is a full 128-lane vector: x_packed (B, T/P, P*C);
+  * packs P = 128 // C consecutive samples into the lane dimension via a
+    zero-copy reshape, so every row is a full 128-lane vector:
+    x_rows (B, T/P, P*C);
   * re-expresses each 1-D conv as a sum of 2*J+1 (rows, 128) x (128, 128)
     block-Toeplitz matmuls (y[r] = sum_j x[r+j] @ W_j with
     W_j[pC:(p+1)C, qC:(q+1)C] = w[jP + p - q + K//2]);
-  * streams one (TILE_R + 16, 128) row window per grid step into VMEM
-    (manual DMA — the convs need a halo, which BlockSpec tiling can't
-    express) and runs the whole chain in VMEM, writing exactly two outputs.
+  * streams one (TILE_R + 16, 128) row window per grid step into VMEM with a
+    manual halo DMA (clamped at the array edges, halo zero-filled — the
+    overlap cannot be expressed with BlockSpec tiling) and runs the whole
+    chain in VMEM, writing exactly two BlockSpec-pipelined outputs.
 
-HBM traffic drops to ~2 reads + 2 writes per element and every matmul uses
-the full MXU width.  Intermediate activations outside [0, T) are masked to
-zero, matching the zero padding a chain of 'same' convs inserts in XLA.
+HBM traffic is ~2 reads + 2 writes per element with no host-side pad/copy,
+and every matmul uses the full MXU width.  Intermediate activations outside
+[0, T) are masked to zero, matching the zero padding a chain of 'same'
+convolutions inserts in XLA.
 
-Inference-path only (no custom VJP yet); weight norm must be folded.
+Status: numerically verified on TPU (f32/bf16, C in {8..256}) but measured
+~2x slower than XLA's fused conv chain at UNIVERSE shapes — the per-tile
+halo DMA is not overlapped with compute (no double buffering yet) and XLA's
+NWC conv emitter is already near the HBM roofline here.  Off by default
+(ops.pallas.enable()); inference-path only (no custom VJP); weight norm must
+be folded.
 """
 from __future__ import annotations
 
@@ -39,7 +47,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from open_universe_tpu.ops import pallas as _config
 
-LPAD = 8  # row padding on each side (sublane-aligned halo)
+def _sublane(dtype) -> int:
+    """Sublane granularity: DMA row offsets must be multiples of this, so the
+    halo (and tile sizes) are dtype-dependent (f32: 8 rows, bf16: 16)."""
+    return 16 if jnp.dtype(dtype).itemsize == 2 else 8
 SQRT_HALF = 1.0 / math.sqrt(2.0)
 
 
@@ -59,25 +70,71 @@ def _pack_conv_weights(w: jax.Array, p: int) -> jax.Array:
     return out
 
 
+def pick_tile_rows(rows: int, target: int = 512, align: int = 8) -> Optional[int]:
+    """Largest divisor of `rows` that is <= target and a multiple of `align`
+    (sublane-aligned DMA offsets); None if none exists above a minimum."""
+    best = None
+    for d in range(align, min(rows, target) + 1, align):
+        if rows % d == 0:
+            best = d
+    return best if best is not None and best >= 64 else None
+
+
 def _kernel(h_hbm, cond_in_hbm, w5_ref, b5_ref, w3a_ref, b3a_ref,
             w3b_ref, b3b_ref, alphas_ref, film_ref,
             v_ref, cond_ref, h_scratch, c_scratch, sem0, sem1,
-            *, tile_r: int, p: int, c: int, t_valid: int, d5: int,
-            with_film: bool, with_cond: bool):
+            *, tile_r: int, n_tiles: int, p: int, c: int, t_valid: int,
+            d5: int, halo: int, with_film: bool, with_cond: bool):
+    HALO = halo
     b = pl.program_id(0)
     i = pl.program_id(1)
     r0 = i * tile_r
     lanes = p * c
+    win = tile_r + 2 * HALO
 
-    dma_h = pltpu.make_async_copy(
-        h_hbm.at[b, pl.ds(r0, tile_r + 2 * LPAD), :], h_scratch, sem0)
-    dma_h.start()
+    def fetch(dst, src_hbm, sem):
+        """Halo window DMA with edge clamping + zero fill."""
+        first = i == 0
+        last = i == n_tiles - 1
+
+        if n_tiles == 1:
+            dst[0:HALO] = jnp.zeros((HALO, lanes), dst.dtype)
+            dst[HALO + tile_r:] = jnp.zeros((HALO, lanes), dst.dtype)
+            dma = pltpu.make_async_copy(
+                src_hbm.at[b, pl.ds(0, tile_r), :],
+                dst.at[pl.ds(HALO, tile_r)], sem)
+            dma.start()
+            dma.wait()
+            return
+
+        @pl.when(jnp.logical_and(first, jnp.logical_not(last)))
+        def _():
+            dst[0:HALO] = jnp.zeros((HALO, lanes), dst.dtype)
+            dma = pltpu.make_async_copy(
+                src_hbm.at[b, pl.ds(0, tile_r + HALO), :],
+                dst.at[pl.ds(HALO, tile_r + HALO)], sem)
+            dma.start()
+            dma.wait()
+
+        @pl.when(jnp.logical_and(last, jnp.logical_not(first)))
+        def _():
+            dst[HALO + tile_r:] = jnp.zeros((HALO, lanes), dst.dtype)
+            dma = pltpu.make_async_copy(
+                src_hbm.at[b, pl.ds(pl.multiple_of(r0 - HALO, HALO), tile_r + HALO), :],
+                dst.at[pl.ds(0, tile_r + HALO)], sem)
+            dma.start()
+            dma.wait()
+
+        @pl.when(jnp.logical_and(jnp.logical_not(first), jnp.logical_not(last)))
+        def _():
+            dma = pltpu.make_async_copy(
+                src_hbm.at[b, pl.ds(pl.multiple_of(r0 - HALO, HALO), win), :], dst.at[:], sem)
+            dma.start()
+            dma.wait()
+
+    fetch(h_scratch, h_hbm, sem0)
     if with_cond:
-        dma_c = pltpu.make_async_copy(
-            cond_in_hbm.at[b, pl.ds(r0, tile_r + 2 * LPAD), :], c_scratch,
-            sem1)
-        dma_c.start()
-    dma_h.wait()
+        fetch(c_scratch, cond_in_hbm, sem1)
 
     lane_blk = (jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
                 // c).astype(jnp.float32)
@@ -87,7 +144,7 @@ def _kernel(h_hbm, cond_in_hbm, w5_ref, b5_ref, w3a_ref, b3a_ref,
         # supports f32 comparisons on all layouts)
         g_row = jax.lax.broadcasted_iota(
             jnp.int32, (n_rows, 1), 0).astype(jnp.float32) \
-            + jnp.float32(row_offset - LPAD) + r0.astype(jnp.float32)
+            + jnp.float32(row_offset - HALO) + r0.astype(jnp.float32)
         pos = g_row * jnp.float32(p) + lane_blk
         return jnp.logical_and(pos >= 0.0, pos < jnp.float32(t_valid))
 
@@ -101,9 +158,9 @@ def _kernel(h_hbm, cond_in_hbm, w5_ref, b5_ref, w3a_ref, b3a_ref,
 
     x = prelu(h, a1)
 
-    # conv5: rows [LPAD-2, LPAD+tile_r+2) relative; offsets are static
+    # conv5: rows [HALO-2, HALO+tile_r+2) relative; offsets are static
     n1 = tile_r + 4
-    o1 = LPAD - 2
+    o1 = HALO - 2
     acc = jnp.dot(x[o1 - d5 : o1 - d5 + n1], w5_ref[0],
                   preferred_element_type=jnp.float32)
     for j in range(1, 2 * d5 + 1):
@@ -115,7 +172,6 @@ def _kernel(h_hbm, cond_in_hbm, w5_ref, b5_ref, w3a_ref, b3a_ref,
 
     cc = cond_out
     if with_cond:
-        dma_c.wait()
         cc = (cc + c_scratch[o1 : o1 + n1].astype(jnp.float32)) * SQRT_HALF
     if with_film:
         gamma = film_ref[0, 0, :].astype(jnp.float32)
@@ -125,24 +181,24 @@ def _kernel(h_hbm, cond_in_hbm, w5_ref, b5_ref, w3a_ref, b3a_ref,
     cc = jnp.where(valid_mask(n1, o1), cc, 0.0).astype(h.dtype)
     x2 = prelu(cc, a2)
 
-    # conv3 #1: rows [LPAD-1, LPAD+tile_r+1); d3 == 1 for all P
+    # conv3 #1: rows [HALO-1, HALO+tile_r+1); row halo is 1 for all P
     n2 = tile_r + 2
     acc2 = jnp.dot(x2[0:n2], w3a_ref[0], preferred_element_type=jnp.float32)
     for j in range(1, 3):
         acc2 += jnp.dot(x2[j : j + n2], w3a_ref[j],
                         preferred_element_type=jnp.float32)
     c2 = acc2 + b3a_ref[0].astype(jnp.float32)
-    c2 = jnp.where(valid_mask(n2, LPAD - 1), c2, 0.0).astype(h.dtype)
+    c2 = jnp.where(valid_mask(n2, HALO - 1), c2, 0.0).astype(h.dtype)
     x3 = prelu(c2, a3)
 
-    # conv3 #2: central rows [LPAD, LPAD+tile_r)
+    # conv3 #2: central rows [HALO, HALO+tile_r)
     acc3 = jnp.dot(x3[0:tile_r], w3b_ref[0], preferred_element_type=jnp.float32)
     for j in range(1, 3):
         acc3 += jnp.dot(x3[j : j + tile_r], w3b_ref[j],
                         preferred_element_type=jnp.float32)
     c3 = acc3 + b3b_ref[0].astype(jnp.float32)
 
-    v = (h[LPAD : LPAD + tile_r].astype(jnp.float32) + c3) * SQRT_HALF
+    v = (h[HALO : HALO + tile_r].astype(jnp.float32) + c3) * SQRT_HALF
     v_ref[0] = v.astype(v_ref.dtype)
 
 
@@ -153,13 +209,14 @@ def fused_conv_chain(
     w3b: jax.Array, b3b: jax.Array, alpha3: jax.Array,
     noise_cond: Optional[jax.Array] = None,
     input_cond: Optional[jax.Array] = None,
-    tile_r: int = 512,
-) -> Tuple[jax.Array, jax.Array]:
+    tile_target: int = 512,
+) -> Optional[Tuple[jax.Array, jax.Array]]:
     """Fused conv1 -> (cond/film) -> conv2 -> conv3 -> residual.
 
     h: (B, T, C); w5: (5, C, C); w3a/w3b: (3, C, C); biases (C,); alphas
     scalar PReLU slopes; noise_cond: (B, 2C) FiLM source; input_cond:
-    (B, T, C) additive signal conditioning.  Returns (v, cond_out).
+    (B, T, C) additive signal conditioning.  Returns (v, cond_out), or None
+    when the shape doesn't tile cleanly (caller falls back to XLA).
     """
     b, t, c = h.shape
     dtype = h.dtype
@@ -167,20 +224,20 @@ def fused_conv_chain(
     lanes = p * c
     d5 = (2 + p - 1) // p  # conv5 row halo
 
-    rows = -(-t // p)
-    rows_pad = -rows % tile_r
-    n_tiles = (rows + rows_pad) // tile_r
+    if t % p != 0:
+        return None
+    halo = _sublane(dtype)
+    rows = t // p
+    tile_r = pick_tile_rows(rows, tile_target, align=halo)
+    if tile_r is None or rows < 2 * halo:
+        return None
+    n_tiles = rows // tile_r
 
-    def pack(x):
-        xp = jnp.pad(x, ((0, 0), (0, rows * p - t), (0, 0)))
-        xp = xp.reshape(b, rows, lanes)
-        return jnp.pad(xp, ((0, 0), (LPAD, LPAD + rows_pad), (0, 0)))
-
-    h_p = pack(h)
+    h_rows = h.reshape(b, rows, lanes)  # zero-copy lane packing
     if input_cond is not None:
-        cond_in = pack(input_cond)
+        cond_in = input_cond.reshape(b, rows, lanes)
     else:
-        cond_in = jnp.zeros((b, 1, lanes), dtype)
+        cond_in = jnp.zeros((b, 8, lanes), dtype)
 
     if noise_cond is not None:
         film = jnp.tile(noise_cond.reshape(b, 2, c), (1, 1, p))
@@ -190,30 +247,25 @@ def fused_conv_chain(
     w5p = _pack_conv_weights(w5, p)
     w3ap = _pack_conv_weights(w3a, p)
     w3bp = _pack_conv_weights(w3b, p)
-    b5p = jnp.tile(b5, p).reshape(1, lanes)
-    b3ap = jnp.tile(b3a, p).reshape(1, lanes)
-    b3bp = jnp.tile(b3b, p).reshape(1, lanes)
     assert w5p.shape[0] == 2 * d5 + 1
-    assert w3ap.shape[0] == 3 and w3bp.shape[0] == 3
 
     kernel = functools.partial(
-        _kernel, tile_r=tile_r, p=p, c=c, t_valid=t, d5=d5,
-        with_film=noise_cond is not None,
+        _kernel, tile_r=tile_r, n_tiles=n_tiles, p=p, c=c, t_valid=t, d5=d5,
+        halo=halo, with_film=noise_cond is not None,
         with_cond=input_cond is not None)
 
     grid = (b, n_tiles)
-    r_out = rows + rows_pad
     out_shape = [
-        jax.ShapeDtypeStruct((b, r_out, lanes), dtype),
-        jax.ShapeDtypeStruct((b, r_out, lanes), dtype),
+        jax.ShapeDtypeStruct((b, rows, lanes), dtype),
+        jax.ShapeDtypeStruct((b, rows, lanes), dtype),
     ]
-    flops = 2 * b * r_out * lanes * lanes * (2 * d5 + 1 + 6)
+    flops = 2 * b * rows * lanes * lanes * (2 * d5 + 1 + 6)
     itemsize = jnp.dtype(dtype).itemsize
     v, cond_out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),   # h (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),   # h (manual halo DMA)
             pl.BlockSpec(memory_space=pl.ANY),   # input_cond (manual DMA)
             pl.BlockSpec((2 * d5 + 1, lanes, lanes), lambda b, i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -240,8 +292,8 @@ def fused_conv_chain(
         ],
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((tile_r + 2 * LPAD, lanes), dtype),
-            pltpu.VMEM((tile_r + 2 * LPAD, lanes), dtype)
+            pltpu.VMEM((tile_r + 2 * halo, lanes), dtype),
+            pltpu.VMEM((tile_r + 2 * halo, lanes), dtype)
             if input_cond is not None else pltpu.VMEM((8, lanes), dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -251,13 +303,12 @@ def fused_conv_chain(
             bytes_accessed=4 * b * t * c * itemsize,
             transcendentals=0),
         interpret=_config.interpret(),
-    )(h_p, cond_in, w5p, b5p, w3ap, b3ap, w3bp, b3bp,
+    )(h_rows, cond_in,
+      w5p.astype(dtype), jnp.tile(b5, p).reshape(1, lanes).astype(dtype),
+      w3ap.astype(dtype), jnp.tile(b3a, p).reshape(1, lanes).astype(dtype),
+      w3bp.astype(dtype), jnp.tile(b3b, p).reshape(1, lanes).astype(dtype),
       jnp.stack([alpha1.reshape(()), alpha2.reshape(()),
                  alpha3.reshape(())]).reshape(1, 3).astype(jnp.float32),
       film.astype(dtype))
 
-    def unpack(y):
-        y = y[:, :rows].reshape(b, rows * p, c)
-        return y[:, :t]
-
-    return unpack(v), unpack(cond_out)
+    return v.reshape(b, t, c), cond_out.reshape(b, t, c)

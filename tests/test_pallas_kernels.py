@@ -7,6 +7,7 @@ import jax.numpy as jnp
 
 from open_universe_tpu.nn.blocks import ConvBlock
 from open_universe_tpu.ops import pallas as pallas_config
+from open_universe_tpu.ops.pallas.conv_block import fused_conv_chain
 
 
 @pytest.fixture(autouse=True)
@@ -17,19 +18,33 @@ def _interpret_mode():
     pallas_config._STATE["interpret"] = False
 
 
-@pytest.mark.parametrize("with_film,with_cond", [
-    (False, False), (True, False), (True, True),
+def _params_as_args(block, params):
+    return (params["conv1"]["conv"]["weight"], params["conv1"]["conv"]["bias"],
+            params["conv1"]["prelu"]["weight"],
+            params["conv2"]["conv"]["weight"], params["conv2"]["conv"]["bias"],
+            params["conv2"]["prelu"]["weight"],
+            params["conv3"]["conv"]["weight"], params["conv3"]["conv"]["bias"],
+            params["conv3"]["prelu"]["weight"])
+
+
+@pytest.mark.parametrize("c,t,with_film,with_cond", [
+    (8, 2048, False, False),       # p=16
+    (8, 2048, True, True),
+    (32, 1280, True, False),       # p=4, multi-tile via tile_target
+    (128, 512, True, True),        # p=1 (5-tap row conv)
 ])
-def test_fused_conv_chain_matches_xla(with_film, with_cond):
-    c, t, b = 8, 2048 + 37, 2
+def test_fused_conv_chain_matches_xla(c, t, with_film, with_cond):
+    b = 2
     block = ConvBlock(c)
     params = block.init(jax.random.key(0))
     h = jax.random.normal(jax.random.key(1), (b, t, c))
     nc = jax.random.normal(jax.random.key(2), (b, 2 * c)) if with_film else None
     ic = jax.random.normal(jax.random.key(3), (b, t, c)) if with_cond else None
 
-    pallas_config.enable(True, interpret=True)
-    v_f, _, cond_f = block(params, h, noise_cond=nc, input_cond=ic)
+    out = fused_conv_chain(h, *_params_as_args(block, params),
+                           noise_cond=nc, input_cond=ic, tile_target=64)
+    assert out is not None, "fused path unexpectedly ineligible"
+    v_f, cond_f = out
 
     pallas_config.enable(False)
     v_x, _, cond_x = block(params, h, noise_cond=nc, input_cond=ic)
@@ -37,6 +52,31 @@ def test_fused_conv_chain_matches_xla(with_film, with_cond):
     np.testing.assert_allclose(np.asarray(cond_f), np.asarray(cond_x),
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_x), atol=2e-5)
+
+
+def test_fused_conv_chain_shape_fallback():
+    c = 32
+    block = ConvBlock(c)
+    params = block.init(jax.random.key(0))
+    h = jax.random.normal(jax.random.key(1), (1, 1001, c))  # 1001 % 4 != 0
+    out = fused_conv_chain(h, *_params_as_args(block, params))
+    assert out is None
+
+
+def test_convblock_fused_path_equals_xla_end_to_end():
+    c, t, b = 32, 2560, 2
+    block = ConvBlock(c)
+    params = block.init(jax.random.key(0))
+    h = jax.random.normal(jax.random.key(1), (b, t, c))
+    nc = jax.random.normal(jax.random.key(2), (b, 2 * c))
+
+    pallas_config.enable(True, interpret=True)
+    v_f, _, cond_f = block(params, h, noise_cond=nc)
+    pallas_config.enable(False)
+    v_x, _, cond_x = block(params, h, noise_cond=nc)
+    np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_x), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(cond_f), np.asarray(cond_x),
+                               atol=2e-5)
 
 
 def test_fused_eligibility_gates():
