@@ -92,3 +92,39 @@ def test_trainer_fit_universe_original(tmp_path):
                        log_every=100, seed=0, mesh=make_mesh(dp=8))
     trainer2.restore(str(tmp_path / "run" / "checkpoints"))
     assert int(jax.device_get(trainer2.state["step"])) == 4
+
+
+def test_trainer_fit_universe_gan(tmp_path):
+    _make_dataset(tmp_path / "data", n_train=8, n_val=1, n_test=1, dur=0.22)
+
+    from open_universe_tpu.configs.registry import instantiate
+    from open_universe_tpu.configs.resolve import compose
+    from open_universe_tpu.parallel.mesh import make_mesh
+    from open_universe_tpu.train.trainer import Trainer
+
+    overrides = [
+        "experiment=universepp_vb_16k",
+        f"datamodule.datasets.vb-train-16k.audio_path={tmp_path/'data'}",
+        "datamodule.datasets.vb-train-16k.audio_len=0.2",
+        "datamodule.train.dl_opts.batch_size=2",
+        "model.score_model.n_channels=4",
+        "model.score_model.noise_cond_dim=32",
+        "model.condition_model.n_mels=16",
+        "model.losses.multi_period_discriminator.mpd_reshapes=[2,3]",
+        "model.losses.multi_period_discriminator.discriminator_channel_mult=0.125",
+        "model.losses.multi_resolution_discriminator.resolutions="
+        "[[128,30,75],[256,60,150],[64,12,30]]",
+        "model.losses.multi_resolution_discriminator.discriminator_channel_mult=0.125",
+    ]
+    cfg = compose("config", overrides)
+    dm = instantiate(cfg["datamodule"])
+    model = instantiate(cfg["model"])
+    assert model.opt_kwargs["generator"]["lr"] == 0.0002
+
+    trainer = Trainer(model, dm, tmp_path / "run", max_steps=2,
+                      val_check_interval=100, checkpoint_every=2, log_every=1,
+                      max_val_batches=0, seed=0, mesh=make_mesh(dp=2),
+                      config=cfg)
+    state = trainer.fit()
+    assert int(jax.device_get(state["step"])) == 2
+    assert "disc_opt_state" in state
