@@ -186,7 +186,8 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _log(self, metrics: Dict[str, Any], step: int):
-        if self.tb is None:
+        # rank-0 gating replaces the reference's utils/ddp.py checks
+        if self.tb is None or jax.process_index() != 0:
             return
         for k, v in metrics.items():
             try:
@@ -341,6 +342,8 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def save(self, step: int, last: bool = False):
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            return  # single-controller write; orbax multihost handled upstream
         import orbax.checkpoint as ocp
 
         path = self.output_dir / "checkpoints" / f"step_{step:08d}"

@@ -48,8 +48,14 @@ def main(argv=None):
     dm = instantiate(cfg["datamodule"])
     model = instantiate(cfg["model"])
 
+    # run dir mirrors the reference's pattern: datetime + cli overrides
+    ov_tag = "_".join(o.replace("/", ".") for o in args.overrides
+                      if not o.startswith("experiment="))[:128]
+    run_name = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    if ov_tag:
+        run_name += "_" + ov_tag
     run_dir = (Path(cfg.get("path", {}).get("exp_root", "exp")) / experiment
-               / datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S"))
+               / run_name)
     log.info("run dir: %s", run_dir)
 
     from open_universe_tpu.parallel.mesh import make_mesh
