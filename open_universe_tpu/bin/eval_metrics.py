@@ -116,7 +116,13 @@ def main(argv=None):
     for n, label in enumerate(sorted(results)):
         fs, deg, ref = load_files(paths[label])
         skip = set(results[label].keys())
-        results[label].update(computer(fs, deg, ref, skip_list=skip))
+        try:
+            results[label].update(computer(fs, deg, ref, skip_list=skip))
+        except Exception as e:
+            # one unusable file (too short / silent / corrupt) must not
+            # abort the run; it stays absent from results so a rerun after
+            # fixing it picks it up (incremental skip-list design)
+            print(f"warning: metrics failed on {label}: {e}", file=sys.stderr)
         if (n + 1) % args.save_every == 0:
             save_results(results, results_path, summary_path)
             print(f"[{n + 1}/{len(results)}]", file=sys.stderr)

@@ -1,8 +1,10 @@
 """In-training metric wrapper (reference metrics/eval.py).
 
-Computes LSD always (pure JAX); PESQ/DNSMOS/LPS when their optional deps are
-available — otherwise they are skipped with a one-time warning so training
-does not depend on evaluation-only packages.
+Computes LSD always (pure JAX) and PESQ always (external pesq package when
+installed, in-house P.862 fallback otherwise — metrics/p862.py), so the
+reference's val/pesq checkpoint-selection signal (universe.py:706-720,
+model/default.yaml:73-74) is available without optional deps. DNSMOS/LPS run
+when their deps are available, otherwise they are skipped with a warning.
 """
 from __future__ import annotations
 
@@ -24,13 +26,9 @@ class EvalMetrics:
         self.eval_fs = 16000
         self.audio_fs = audio_fs
 
-        try:
-            import pesq as _pesq
+        from .p862 import resolve_pesq
 
-            self._pesq = _pesq.pesq
-        except ImportError:
-            self._pesq = None
-            log.warning("pesq package unavailable; val/pesq will be skipped")
+        self._pesq, _ = resolve_pesq()
 
         self._dnsmos = None
         if dnsmos:

@@ -1,17 +1,19 @@
-"""Batched PESQ wrapper (reference metrics/pesq.py); needs the pesq package."""
+"""Batched PESQ wrapper (reference metrics/pesq.py:26-80).
+
+Uses the conformant external ``pesq`` package when installed, otherwise the
+in-house P.862 implementation (metrics/p862.py)."""
 from __future__ import annotations
 
 import numpy as np
 
 from ..data.audio import resample_audio
+from .p862 import resolve_pesq
 
 
 class PESQ:
     def __init__(self, mode: str = "wb", audio_fs: int = 16000,
                  pesq_fs: int = 16000):
-        import pesq as _pesq  # raises if unavailable
-
-        self._pesq = _pesq.pesq
+        self._pesq, self.conformant = resolve_pesq()
         self.mode = mode
         self.pesq_fs = pesq_fs
         self.audio_fs = audio_fs

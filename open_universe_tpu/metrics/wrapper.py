@@ -58,9 +58,9 @@ class Metrics:
         self.metrics = list(metrics)
 
         if any(m.startswith("pesq") for m in self.metrics):
-            import pesq as _pesq_mod  # raises if unavailable
+            from .p862 import resolve_pesq
 
-            self._pesq = _pesq_mod.pesq
+            self._pesq, self._pesq_conformant = resolve_pesq()
         if "dnsmos" in self.metrics:
             from .dnsmos import Compute_DNSMOS
 

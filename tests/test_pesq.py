@@ -1,0 +1,106 @@
+"""In-house P.862 (PESQ) fallback: fixed points, monotonicity, alignment,
+and integration with the Metrics dispatcher / EvalMetrics / PESQ wrapper."""
+import numpy as np
+import pytest
+
+from open_universe_tpu.metrics.p862 import pesq, pesq_raw, resolve_pesq
+
+
+@pytest.fixture(scope="module")
+def speechish():
+    """Synthetic speech-like signal: AM-modulated harmonics with pauses."""
+    rng = np.random.default_rng(0)
+    fs = 16000
+    t = np.arange(fs * 3) / fs
+    env = (np.sin(2 * np.pi * 2.3 * t) ** 2) * (t % 1.0 < 0.7)
+    x = env * (np.sin(2 * np.pi * 220 * t) + 0.5 * np.sin(2 * np.pi * 440 * t)
+               + 0.3 * np.sin(2 * np.pi * 880 * t)
+               + 0.2 * np.sin(2 * np.pi * 1760 * t))
+    return fs, x + 0.02 * rng.standard_normal(len(t))
+
+
+def test_identical_signal_fixed_points(speechish):
+    # raw 4.5 through the published P.862.1/.2 logistic maps
+    fs, x = speechish
+    assert pesq(fs, x, x, "wb") == pytest.approx(4.6439, abs=1e-3)
+    assert pesq(fs, x, x, "nb") == pytest.approx(4.5486, abs=1e-3)
+    assert pesq_raw(fs, x, x, "wb") == pytest.approx(4.5, abs=1e-6)
+
+
+def test_monotonic_in_snr(speechish):
+    fs, x = speechish
+    rng = np.random.default_rng(1)
+    noise = rng.standard_normal(len(x))
+    noise /= np.sqrt(np.mean(noise**2) / np.mean(x**2))
+    scores = [pesq(fs, x, x + noise * 10 ** (-snr / 20), "wb")
+              for snr in (40, 20, 10, 0)]
+    assert all(a > b for a, b in zip(scores, scores[1:]))
+    assert scores[0] > 4.0  # 40 dB SNR is nearly transparent
+    assert scores[-1] < 2.5  # 0 dB white noise is bad
+
+
+def test_delay_robustness(speechish):
+    fs, x = speechish
+    shifted = np.concatenate([np.zeros(123), x])[: len(x)]
+    aligned = pesq(fs, x, x, "wb")
+    assert pesq(fs, x, shifted, "wb") == pytest.approx(aligned, abs=0.05)
+
+
+def test_gain_invariance(speechish):
+    # level alignment makes PESQ invariant to input scaling
+    fs, x = speechish
+    rng = np.random.default_rng(2)
+    deg = x + 0.05 * rng.standard_normal(len(x))
+    a = pesq(fs, x, deg, "wb")
+    b = pesq(fs, 0.1 * x, 3.0 * deg, "wb")
+    assert a == pytest.approx(b, abs=0.02)
+
+
+def test_mode_and_length_validation(speechish):
+    fs, x = speechish
+    with pytest.raises(ValueError):
+        pesq(8000, x, x, "wb")
+    with pytest.raises(ValueError):
+        pesq(fs, x[:1000], x[:1000], "wb")
+    assert np.isfinite(pesq(8000, x[::2], x[::2], "nb"))
+
+
+def test_resolve_prefers_external_else_inhouse():
+    fn, conformant = resolve_pesq()
+    try:
+        import pesq as ext  # noqa: F401
+
+        assert conformant
+    except ImportError:
+        assert not conformant and fn is pesq
+
+
+def test_metrics_dispatcher_pesq(speechish):
+    from open_universe_tpu.metrics.wrapper import Metrics
+
+    fs, x = speechish
+    rng = np.random.default_rng(3)
+    deg = x + 0.01 * rng.standard_normal(len(x))
+    out = Metrics(["pesq-wb", "pesq-nb", "si-sdr"])(fs, deg, x)
+    assert 1.0 <= out["pesq-wb"] <= 4.65
+    assert 1.0 <= out["pesq-nb"] <= 4.56
+    assert out["si-sdr"] > 30
+
+
+def test_eval_metrics_reports_pesq(speechish):
+    from open_universe_tpu.metrics.eval import EvalMetrics
+
+    fs, x = speechish
+    em = EvalMetrics(dnsmos=False)
+    out = em(x[None, None, :], x[None, None, :])
+    assert out["pesq"] == pytest.approx(4.6439, abs=1e-3)
+    assert "lsd" in out
+
+
+def test_pesq_batched_wrapper(speechish):
+    from open_universe_tpu.metrics.pesq import PESQ
+
+    fs, x = speechish
+    batch = np.stack([x, np.roll(x, 7)])[:, None, :]
+    val = PESQ(mode="wb", audio_fs=fs)(batch, batch)
+    assert val == pytest.approx(4.6439, abs=1e-3)
