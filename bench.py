@@ -26,10 +26,15 @@ def main():
                     help="network compute dtype (sampler math stays f32)")
     args = ap.parse_args()
 
+    from open_universe_tpu.inference.torch_convert import fold_weight_norm
     from open_universe_tpu.models.presets import universepp
 
     model = universepp(fs=args.fs)
     params = model.init(jax.random.key(0))
+    # deployment parity: the model loader folds weight norm for inference
+    # (inference/model_loader.py), which also makes the ConvBlocks eligible
+    # for the fused Pallas path at C>=128
+    params = fold_weight_norm(model, params)
     key = jax.random.key(1)
     cdt = jnp.bfloat16 if args.dtype == "bf16" else None
 

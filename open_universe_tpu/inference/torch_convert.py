@@ -181,7 +181,15 @@ def apply_ema_shadow(model: Module, params: Dict[str, Any],
 
 
 def fold_weight_norm(model: Module, params: Dict[str, Any]):
-    """Fold (weight_g, weight_v) -> weight in-place (inference-time opt)."""
+    """Fold (weight_g, weight_v) -> weight in-place (inference-time opt).
+
+    Folded leaves stay jax arrays (device-resident) — a numpy leaf in the
+    param tree is re-uploaded host->device on every jitted call, which on a
+    tunneled TPU costs ~2 s/step.  Layers detect folding from the params
+    (absence of weight_v), so the module objects are not mutated and one
+    model instance can serve folded and unfolded trees."""
+    import jax.numpy as jnp
+
     for path, mod in model.named_modules():
         if not getattr(mod, "weight_norm", False):
             continue
@@ -194,13 +202,10 @@ def fold_weight_norm(model: Module, params: Dict[str, Any]):
             node = node[part]
         if not ok or "weight_v" not in node:
             continue
-        import jax.numpy as jnp
-
         w = mod.weight({k: jnp.asarray(v) for k, v in node.items()
                         if k.startswith("weight")})
-        node["weight"] = np.asarray(w)
+        node["weight"] = w
         del node["weight_v"], node["weight_g"]
-        mod.weight_norm = False
     return params
 
 

@@ -356,6 +356,32 @@ class Universe(Module):
         (e.g. jnp.bfloat16 for ~1.4x throughput on TPU) while sampler state,
         normalization, and the STFT front-end stay float32.
         """
+        from ..ops import pallas as _pallas_config
+
+        with _pallas_config.inference_scope():
+            return self._enhance_impl(
+                params, mix, key=key, n_steps=n_steps, epsilon=epsilon,
+                target=target, fake_score_snr=fake_score_snr,
+                use_aux_signal=use_aux_signal, keep_rms=keep_rms,
+                ensemble=ensemble, ensemble_stat=ensemble_stat,
+                warm_start=warm_start, compute_dtype=compute_dtype)
+
+    def _enhance_impl(
+        self,
+        params: Params,
+        mix: jax.Array,
+        key: Optional[jax.Array] = None,
+        n_steps: Optional[int] = None,
+        epsilon: Optional[float] = None,
+        target: Optional[jax.Array] = None,
+        fake_score_snr: Optional[float] = None,
+        use_aux_signal: bool = False,
+        keep_rms: bool = False,
+        ensemble: Optional[int] = None,
+        ensemble_stat: str = "median",
+        warm_start: Optional[int] = None,
+        compute_dtype: Optional[Any] = None,
+    ) -> jax.Array:
         if compute_dtype is not None:
             nets = {k: jax.tree_util.tree_map(
                         lambda a: a.astype(compute_dtype)

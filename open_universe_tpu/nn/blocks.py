@@ -206,7 +206,14 @@ class ConvBlock(Module):
             return False
         if self.signal_cond_proj is not None:
             return False
-        if h.shape[1] < 1024 or h.shape[2] > 256:
+        # C >= 128 (pack factor 1): the (B,T,C)->(B,T/P,PC) lane packing is
+        # the identity, so the fused kernel's ~1.2-1.6x win is not eaten by
+        # physical relayout copies (~2.8 ms each at B=128,T=32k on v5e).
+        # C < 128 needs the packed-layout execution mode to pay off.
+        if pallas_config.allow_repack():
+            if h.shape[1] < 1024 or h.shape[2] > 256:
+                return False
+        elif not 128 <= h.shape[2] <= 256 or h.shape[1] < 256:
             return False
         for name in ("conv1", "conv2", "conv3"):
             conv = getattr(self, name)

@@ -67,7 +67,7 @@ class Conv1d(Module):
 
     def weight(self, params: Params) -> jax.Array:
         params, _ = _lora_inner(params)
-        if self.weight_norm:
+        if self.weight_norm and "weight_v" in params:  # folded trees: weight
             v = params["weight_v"]
             g = params["weight_g"]
             norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True))
@@ -126,7 +126,7 @@ class ConvTranspose1d(Module):
 
     def weight(self, params: Params) -> jax.Array:
         params, _ = _lora_inner(params)
-        if self.weight_norm:
+        if self.weight_norm and "weight_v" in params:  # folded trees: weight
             v = params["weight_v"]
             g = params["weight_g"]
             norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 2), keepdims=True))
@@ -171,7 +171,7 @@ class Linear(Module):
 
     def weight(self, params: Params) -> jax.Array:
         params, _ = _lora_inner(params)
-        if self.weight_norm:
+        if self.weight_norm and "weight_v" in params:  # folded trees: weight
             v = params["weight_v"]
             g = params["weight_g"]
             norm = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
@@ -340,7 +340,7 @@ class Conv2d(Module):
         return p
 
     def weight(self, params: Params) -> jax.Array:
-        if self.weight_norm:
+        if self.weight_norm and "weight_v" in params:  # folded trees: weight
             v = params["weight_v"]
             g = params["weight_g"]
             norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1, 2), keepdims=True))

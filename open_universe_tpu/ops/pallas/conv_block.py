@@ -17,22 +17,19 @@ T = 16k..32k: ~12 HBM traversals of large activations) and wastes MXU lanes
   * re-expresses each 1-D conv as a sum of 2*J+1 (rows, 128) x (128, 128)
     block-Toeplitz matmuls (y[r] = sum_j x[r+j] @ W_j with
     W_j[pC:(p+1)C, qC:(q+1)C] = w[jP + p - q + K//2]);
-  * streams one (TILE_R + 16, 128) row window per grid step into VMEM with a
-    manual halo DMA (clamped at the array edges, halo zero-filled — the
-    overlap cannot be expressed with BlockSpec tiling) and runs the whole
-    chain in VMEM, writing exactly two BlockSpec-pipelined outputs.
+  * expresses the halo overlap as two extra sublane-sized BlockSpec inputs
+    per tensor (the blocks left and right of the current tile, clamped at
+    the edges and masked to zero in-kernel), so the whole kernel runs on the
+    automatic Mosaic grid pipeline — every input and output is
+    double-buffered DMA overlapped with compute, with no manual DMA.
 
-HBM traffic is ~2 reads + 2 writes per element with no host-side pad/copy,
-and every matmul uses the full MXU width.  Intermediate activations outside
-[0, T) are masked to zero, matching the zero padding a chain of 'same'
-convolutions inserts in XLA.
+HBM traffic is ~(1 + 2*halo/tile) reads + 2 writes per element vs ~12
+traversals for the unfused XLA chain, and every matmul uses the full MXU
+width.  Intermediate activations outside [0, T) are masked to zero,
+matching the zero padding a chain of 'same' convolutions inserts in XLA.
 
-Status: numerically verified on TPU (f32/bf16, C in {8..256}) but measured
-~2x slower than XLA's fused conv chain at UNIVERSE shapes — the per-tile
-halo DMA is not overlapped with compute (no double buffering yet) and XLA's
-NWC conv emitter is already near the HBM roofline here.  Off by default
-(ops.pallas.enable()); inference-path only (no custom VJP); weight norm must
-be folded.
+Inference-path only (no custom VJP); weight norm must be folded. Enable via
+ops.pallas.enable().
 """
 from __future__ import annotations
 
@@ -48,31 +45,40 @@ from jax.experimental.pallas import tpu as pltpu
 from open_universe_tpu.ops import pallas as _config
 
 def _sublane(dtype) -> int:
-    """Sublane granularity: DMA row offsets must be multiples of this, so the
-    halo (and tile sizes) are dtype-dependent (f32: 8 rows, bf16: 16)."""
+    """Sublane granularity: halo block rows must be a multiple of this, so
+    the halo (and tile sizes) are dtype-dependent (f32: 8 rows, bf16: 16)."""
     return 16 if jnp.dtype(dtype).itemsize == 2 else 8
 SQRT_HALF = 1.0 / math.sqrt(2.0)
 
 
 def _pack_conv_weights(w: jax.Array, p: int) -> jax.Array:
-    """(K, C, C) tap weights -> (2J+1, P*C, P*C) block-Toeplitz row weights."""
+    """(K, C, C) tap weights -> (2J+1, P*C, P*C) block-Toeplitz row weights.
+
+    Single gather (static index table) so the packing is a handful of XLA
+    ops — it runs on every call when the weights are traced, so it must be
+    cheap (a scalar .at[].set() loop here once cost more than the kernel)."""
+    import numpy as np
+
     k, c, _ = w.shape
     half = k // 2
     jmax = (half + p - 1) // p
-    out = jnp.zeros((2 * jmax + 1, p * c, p * c), w.dtype)
+    tap_idx = np.full((2 * jmax + 1, p, p), k, dtype=np.int32)  # k -> zero
     for j in range(-jmax, jmax + 1):
         for pp in range(p):
             for q in range(p):
                 tap = j * p + pp - q + half
                 if 0 <= tap < k:
-                    out = out.at[j + jmax, pp * c:(pp + 1) * c,
-                                 q * c:(q + 1) * c].set(w[tap])
-    return out
+                    tap_idx[j + jmax, pp, q] = tap
+    w_ext = jnp.concatenate([w, jnp.zeros((1, c, c), w.dtype)], axis=0)
+    # (2J+1, P, Q, C_in, C_out) -> rows are (pp, c_in) blocks, cols (q, c_out)
+    gathered = w_ext[tap_idx]  # tap axis: (..., c_in, c_out)
+    out = jnp.transpose(gathered, (0, 1, 3, 2, 4))
+    return out.reshape(2 * jmax + 1, p * c, p * c)
 
 
-def pick_tile_rows(rows: int, target: int = 512, align: int = 8) -> Optional[int]:
+def pick_tile_rows(rows: int, target: int = 2048, align: int = 8) -> Optional[int]:
     """Largest divisor of `rows` that is <= target and a multiple of `align`
-    (sublane-aligned DMA offsets); None if none exists above a minimum."""
+    (halo blocks must tile the row dim); None if none exists above a minimum."""
     best = None
     for d in range(align, min(rows, target) + 1, align):
         if rows % d == 0:
@@ -80,61 +86,27 @@ def pick_tile_rows(rows: int, target: int = 512, align: int = 8) -> Optional[int
     return best if best is not None and best >= 64 else None
 
 
-def _kernel(h_hbm, cond_in_hbm, w5_ref, b5_ref, w3a_ref, b3a_ref,
-            w3b_ref, b3b_ref, alphas_ref, film_ref,
-            v_ref, cond_ref, h_scratch, c_scratch, sem0, sem1,
+def _kernel(h_l, h_c, h_r, cond_l, cond_c, cond_r, w5_ref, b5_ref,
+            w3a_ref, b3a_ref, w3b_ref, b3b_ref, alphas_ref, film_ref,
+            v_ref, cond_ref,
             *, tile_r: int, n_tiles: int, p: int, c: int, t_valid: int,
             d5: int, halo: int, with_film: bool, with_cond: bool):
     HALO = halo
-    b = pl.program_id(0)
     i = pl.program_id(1)
     r0 = i * tile_r
     lanes = p * c
-    win = tile_r + 2 * HALO
 
-    def fetch(dst, src_hbm, sem):
-        """Halo window DMA with edge clamping + zero fill."""
-        first = i == 0
-        last = i == n_tiles - 1
+    # the clamped edge blocks carry garbage at i==0 / i==n_tiles-1; a chain
+    # of 'same' convs sees zeros there
+    lmask = jnp.where(i == 0, 0.0, 1.0)
+    rmask = jnp.where(i == n_tiles - 1, 0.0, 1.0)
 
-        if n_tiles == 1:
-            dst[0:HALO] = jnp.zeros((HALO, lanes), dst.dtype)
-            dst[HALO + tile_r:] = jnp.zeros((HALO, lanes), dst.dtype)
-            dma = pltpu.make_async_copy(
-                src_hbm.at[b, pl.ds(0, tile_r), :],
-                dst.at[pl.ds(HALO, tile_r)], sem)
-            dma.start()
-            dma.wait()
-            return
+    def window(l_ref, c_ref, r_ref):
+        left = (l_ref[0].astype(jnp.float32) * lmask).astype(l_ref.dtype)
+        right = (r_ref[0].astype(jnp.float32) * rmask).astype(r_ref.dtype)
+        return jnp.concatenate([left, c_ref[0], right], axis=0)
 
-        @pl.when(jnp.logical_and(first, jnp.logical_not(last)))
-        def _():
-            dst[0:HALO] = jnp.zeros((HALO, lanes), dst.dtype)
-            dma = pltpu.make_async_copy(
-                src_hbm.at[b, pl.ds(0, tile_r + HALO), :],
-                dst.at[pl.ds(HALO, tile_r + HALO)], sem)
-            dma.start()
-            dma.wait()
-
-        @pl.when(jnp.logical_and(last, jnp.logical_not(first)))
-        def _():
-            dst[HALO + tile_r:] = jnp.zeros((HALO, lanes), dst.dtype)
-            dma = pltpu.make_async_copy(
-                src_hbm.at[b, pl.ds(pl.multiple_of(r0 - HALO, HALO), tile_r + HALO), :],
-                dst.at[pl.ds(0, tile_r + HALO)], sem)
-            dma.start()
-            dma.wait()
-
-        @pl.when(jnp.logical_and(jnp.logical_not(first), jnp.logical_not(last)))
-        def _():
-            dma = pltpu.make_async_copy(
-                src_hbm.at[b, pl.ds(pl.multiple_of(r0 - HALO, HALO), win), :], dst.at[:], sem)
-            dma.start()
-            dma.wait()
-
-    fetch(h_scratch, h_hbm, sem0)
-    if with_cond:
-        fetch(c_scratch, cond_in_hbm, sem1)
+    h = window(h_l, h_c, h_r)
 
     lane_blk = (jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
                 // c).astype(jnp.float32)
@@ -148,7 +120,6 @@ def _kernel(h_hbm, cond_in_hbm, w5_ref, b5_ref, w3a_ref, b3a_ref,
         pos = g_row * jnp.float32(p) + lane_blk
         return jnp.logical_and(pos >= 0.0, pos < jnp.float32(t_valid))
 
-    h = h_scratch[:]
     a1, a2, a3 = alphas_ref[0, 0], alphas_ref[0, 1], alphas_ref[0, 2]
 
     def prelu(y, a):
@@ -172,7 +143,8 @@ def _kernel(h_hbm, cond_in_hbm, w5_ref, b5_ref, w3a_ref, b3a_ref,
 
     cc = cond_out
     if with_cond:
-        cc = (cc + c_scratch[o1 : o1 + n1].astype(jnp.float32)) * SQRT_HALF
+        cin = window(cond_l, cond_c, cond_r)
+        cc = (cc + cin[o1 : o1 + n1].astype(jnp.float32)) * SQRT_HALF
     if with_film:
         gamma = film_ref[0, 0, :].astype(jnp.float32)
         beta = film_ref[0, 1, :].astype(jnp.float32)
@@ -209,7 +181,7 @@ def fused_conv_chain(
     w3b: jax.Array, b3b: jax.Array, alpha3: jax.Array,
     noise_cond: Optional[jax.Array] = None,
     input_cond: Optional[jax.Array] = None,
-    tile_target: int = 512,
+    tile_target: int = 2048,
 ) -> Optional[Tuple[jax.Array, jax.Array]]:
     """Fused conv1 -> (cond/film) -> conv2 -> conv3 -> residual.
 
@@ -234,12 +206,10 @@ def fused_conv_chain(
     n_tiles = rows // tile_r
 
     h_rows = h.reshape(b, rows, lanes)  # zero-copy lane packing
-    if input_cond is not None:
-        cond_in = input_cond.reshape(b, rows, lanes)
-    else:
-        cond_in = jnp.zeros((b, 8, lanes), dtype)
+    with_cond = input_cond is not None
+    with_film = noise_cond is not None
 
-    if noise_cond is not None:
+    if with_film:
         film = jnp.tile(noise_cond.reshape(b, 2, c), (1, 1, p))
     else:
         film = jnp.zeros((b, 2, lanes), dtype)
@@ -251,8 +221,61 @@ def fused_conv_chain(
 
     kernel = functools.partial(
         _kernel, tile_r=tile_r, n_tiles=n_tiles, p=p, c=c, t_valid=t, d5=d5,
-        halo=halo, with_film=noise_cond is not None,
-        with_cond=input_cond is not None)
+        halo=halo, with_film=with_film, with_cond=with_cond)
+
+    # halo overlap as two extra halo-row-sized BlockSpec inputs over the same
+    # array (block granularity = halo rows, clamped at the edges, garbage
+    # masked in-kernel): the Mosaic grid pipeline double-buffers them like
+    # any other input, so total input traffic is (1 + 2*halo/tile_r) reads
+    R = tile_r // halo          # halo blocks per tile
+    NH = rows // halo           # total halo blocks
+
+    def spec_center():
+        return pl.BlockSpec((1, tile_r, lanes), lambda b_, i: (b_, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def spec_left():
+        return pl.BlockSpec((1, halo, lanes),
+                            lambda b_, i: (b_, jnp.maximum(i * R - 1, 0), 0),
+                            memory_space=pltpu.VMEM)
+
+    def spec_right():
+        return pl.BlockSpec(
+            (1, halo, lanes),
+            lambda b_, i: (b_, jnp.minimum(i * R + R, NH - 1), 0),
+            memory_space=pltpu.VMEM)
+
+    in_specs = [spec_left(), spec_center(), spec_right()]
+    inputs = [h_rows, h_rows, h_rows]
+    if with_cond:
+        cond_rows = input_cond.reshape(b, rows, lanes)
+        in_specs += [spec_left(), spec_center(), spec_right()]
+        inputs += [cond_rows, cond_rows, cond_rows]
+    else:
+        dummy = jnp.zeros((b, 1, 1, lanes), dtype)
+        tiny = pl.BlockSpec((1, 1, 1, lanes), lambda b_, i: (b_, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+        in_specs += [tiny, tiny, tiny]
+        inputs += [dummy, dummy, dummy]
+
+    in_specs += [
+        pl.BlockSpec((2 * d5 + 1, lanes, lanes), lambda b_, i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lanes), lambda b_, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, lanes, lanes), lambda b_, i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lanes), lambda b_, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, lanes, lanes), lambda b_, i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lanes), lambda b_, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3), lambda b_, i: (0, 0),
+                     memory_space=pltpu.SMEM),   # prelu alphas
+        pl.BlockSpec((1, 2, lanes), lambda b_, i: (b_, 0, 0),
+                     memory_space=pltpu.VMEM),   # film gamma/beta
+    ]
 
     grid = (b, n_tiles)
     out_shape = [
@@ -264,46 +287,20 @@ def fused_conv_chain(
     v, cond_out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),   # h (manual halo DMA)
-            pl.BlockSpec(memory_space=pl.ANY),   # input_cond (manual DMA)
-            pl.BlockSpec((2 * d5 + 1, lanes, lanes), lambda b, i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lanes), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, lanes, lanes), lambda b, i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lanes), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, lanes, lanes), lambda b, i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lanes), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3), lambda b, i: (0, 0),
-                         memory_space=pltpu.SMEM),   # prelu alphas
-            pl.BlockSpec((1, 2, lanes), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),   # film gamma/beta
-        ],
+        in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, tile_r, lanes), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, tile_r, lanes), lambda b_, i: (b_, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_r, lanes), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, tile_r, lanes), lambda b_, i: (b_, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((tile_r + 2 * halo, lanes), dtype),
-            pltpu.VMEM((tile_r + 2 * halo, lanes), dtype)
-            if input_cond is not None else pltpu.VMEM((8, lanes), dtype),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-        ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=4 * b * t * c * itemsize,
+            bytes_accessed=(5 if with_cond else 3) * b * t * c * itemsize,
             transcendentals=0),
         interpret=_config.interpret(),
-    )(h_rows, cond_in,
+    )(*inputs,
       w5p.astype(dtype), jnp.tile(b5, p).reshape(1, lanes).astype(dtype),
       w3ap.astype(dtype), jnp.tile(b3a, p).reshape(1, lanes).astype(dtype),
       w3bp.astype(dtype), jnp.tile(b3b, p).reshape(1, lanes).astype(dtype),

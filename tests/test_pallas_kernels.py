@@ -85,7 +85,14 @@ def test_fused_eligibility_gates():
     h_short = jnp.zeros((1, 100, 8))
     assert not block._fused_eligible(params, h_short)  # too short
     h = jnp.zeros((1, 4096, 8))
+    # C < 128 engages only with allow_repack (lane packing is a relayout)
+    assert not block._fused_eligible(params, h)
+    pallas_config.enable(True, interpret=True, allow_repack=True)
     assert block._fused_eligible(params, h)
+    pallas_config.enable(True, interpret=True)
+    block128 = ConvBlock(128)
+    p128 = block128.init(jax.random.key(0))
+    assert block128._fused_eligible(p128, jnp.zeros((1, 512, 128)))
     block_wn = ConvBlock(8, weight_norm=True)
     p_wn = block_wn.init(jax.random.key(0))
     assert not block_wn._fused_eligible(p_wn, h)  # unfolded weight norm
