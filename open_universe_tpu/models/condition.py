@@ -149,14 +149,35 @@ class ConditionerEncoder(Module):
         self.conv_block2 = ConvBlock(oc, act_type=act_type,
                                      weight_norm=use_weight_norm)
 
-    def apply(self, params: Params, x: jax.Array, x_mel: jax.Array):
+    def apply(self, params: Params, x: jax.Array, x_mel: jax.Array,
+              packed: bool = False):
+        from ..ops import packed as pk
+
         outputs = []
         lengths = []
         for i, ds in enumerate(self.ds_modules):
-            lengths.append(x.shape[1])
-            x, res, _ = ds(params["ds_modules"][str(i)], x)
+            node = params["ds_modules"][str(i)]
+            if packed:
+                p_in = pk.pack_factor(ds.in_channels)
+                lengths.append(x.shape[1] * p_in)
+                x, res, _ = ds.apply_packed(node, x)
+            else:
+                lengths.append(x.shape[1])
+                x, res, _ = ds(node, x)
             if self.st_convs[i] is not None:
-                outputs.append(self.st_convs[i](params["st_convs"][str(i)], res))
+                st = self.st_convs[i]
+                snode = params["st_convs"][str(i)]
+                if packed:
+                    # PReLUConv(C_i -> oc, k=rate, stride=rate): the output
+                    # lives at the bottleneck (pack factor 1)
+                    p_in = pk.pack_factor(ds.in_channels)
+                    h = pk.packed_prelu(res, snode["prelu"]["weight"], p_in)
+                    w = st.conv.weight(snode["conv"])
+                    outputs.append(pk.packed_strided_conv(
+                        h, w, snode["conv"].get("bias"), st.stride, 0,
+                        p_in, 1))
+                else:
+                    outputs.append(st(snode, res))
         outputs.append(x)
 
         out = x_mel
@@ -193,12 +214,20 @@ class ConditionerDecoder(Module):
                              weight_norm=use_weight_norm)] + ups
         self.up_modules = ModuleList(ups)
 
-    def apply(self, params: Params, x: jax.Array, lengths):
+    def apply(self, params: Params, x: jax.Array, lengths, packed: bool = False):
         conditions = []
-        x, *_ = self.input_conv_block(params["input_conv_block"], x)
-        for i, (up, length) in enumerate(zip(self.up_modules, lengths)):
-            x, _, cond = up(params["up_modules"][str(i)], x, length=length)
-            conditions.append(cond)
+        if packed:
+            x, *_ = self.input_conv_block.apply_packed(
+                params["input_conv_block"], x)
+            for i, (up, length) in enumerate(zip(self.up_modules, lengths)):
+                x, _, cond = up.apply_packed(params["up_modules"][str(i)], x,
+                                             length=length)
+                conditions.append(cond)
+        else:
+            x, *_ = self.input_conv_block(params["input_conv_block"], x)
+            for i, (up, length) in enumerate(zip(self.up_modules, lengths)):
+                x, _, cond = up(params["up_modules"][str(i)], x, length=length)
+                conditions.append(cond)
         return x, conditions
 
 
@@ -239,9 +268,43 @@ class ConditionerNetwork(Module):
             use_antialiasing=use_antialiasing)
         self.precoding = precoding
 
+    def packed_eligible(self, t: int) -> bool:
+        """Packed-mode support: see ScoreNetwork.packed_eligible.  The
+        conditioner additionally requires plain (non-anti-aliased) shortcut
+        convs — always true for the published configs, whose encoder
+        anti-aliasing is hardcoded off (reference condition.py:333)."""
+        from ..ops.packed import pack_factor
+
+        if self.precoding is not None or self.input_channels != 1:
+            return False
+        t_level, c = t, self.n_channels
+        for r in self.rate_factors:
+            if t_level % pack_factor(c) != 0 or t_level % r != 0:
+                return False
+            t_level //= r
+            c *= 2
+        for st in self.encoder.st_convs:
+            if st is not None and not isinstance(st, PReLUConv):
+                return False
+        for blocks in (self.encoder.ds_modules, self.decoder.up_modules):
+            for blk in blocks:
+                if not isinstance(blk, ConvBlock):
+                    return False
+                if blk.signal_cond_proj is not None:
+                    return False
+                for cn in ("conv1", "conv2", "conv3"):
+                    if getattr(blk, cn).act_type != "prelu":
+                        return False
+        return True
+
     def apply(self, params: Params, x: jax.Array,
-              x_wav: Optional[jax.Array] = None, train: bool = False):
-        """x: (B, T, C) -> conditions [, y_hat (B,T,n_channels), latent h]."""
+              x_wav: Optional[jax.Array] = None, train: bool = False,
+              packed: bool = False):
+        """x: (B, T, C) -> conditions [, y_hat (B,T,n_channels), latent h].
+
+        packed=True: the per-level `conditions` are returned lane-packed
+        (matching ScoreNetwork.apply(..., packed=True)); y_hat and h are
+        unpacked as usual."""
         n_samples = x.shape[1]
         if x_wav is None:
             x_wav = x
@@ -251,12 +314,35 @@ class ConditionerNetwork(Module):
         if self.precoding is not None:
             x = self.precoding(params.get("precoding", {}), x)
 
-        x = self.input_conv(params["input_conv"], x)
-        h, lengths = self.encoder(params["encoder"], x, x_mel)
-        y_hat, conditions = self.decoder(params["decoder"], h, lengths)
+        if packed:
+            from ..ops.packed import (
+                pack_factor, pack_rows, packed_strided_conv, unpack_rows,
+            )
 
-        if self.output_conv is not None:
-            y_hat = self.output_conv(params["output_conv"], y_hat)
+            p0 = pack_factor(self.n_channels)
+            node = params["input_conv"]
+            w_in = self.input_conv.weight(node)
+            x = packed_strided_conv(pack_rows(x, p0), w_in,
+                                    node.get("bias"), 1, w_in.shape[0] // 2,
+                                    p0, p0)
+            h, lengths = self.encoder(params["encoder"], x, x_mel, packed=True)
+            y_hat, conditions = self.decoder(params["decoder"], h, lengths,
+                                             packed=True)
+            if self.output_conv is not None:
+                onode = params["output_conv"]
+                w_out = self.output_conv.weight(onode)
+                y_hat = packed_strided_conv(y_hat, w_out, onode.get("bias"),
+                                            1, w_out.shape[0] // 2, p0, p0)
+                y_hat = unpack_rows(y_hat, p0, w_out.shape[-1])
+            else:
+                y_hat = unpack_rows(y_hat, p0, self.n_channels)
+        else:
+            x = self.input_conv(params["input_conv"], x)
+            h, lengths = self.encoder(params["encoder"], x, x_mel)
+            y_hat, conditions = self.decoder(params["decoder"], h, lengths)
+
+            if self.output_conv is not None:
+                y_hat = self.output_conv(params["output_conv"], y_hat)
 
         if self.precoding is not None and hasattr(self.precoding, "inv"):
             y_hat = self.precoding.inv(params.get("precoding", {}), y_hat)

@@ -8,6 +8,7 @@ checkpoint ingestion.
 """
 from __future__ import annotations
 
+import math
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -68,16 +69,25 @@ class ScoreEncoder(Module):
         else:
             raise ValueError("seq_model must be gru|none")
 
-    def apply(self, params: Params, x: jax.Array, noise_cond: jax.Array):
+    def apply(self, params: Params, x: jax.Array, noise_cond: jax.Array,
+              packed: bool = False):
+        from ..ops.packed import pack_factor
+
         residuals: List[jax.Array] = []
         lengths: List[int] = []
         for i, (ds, lin) in enumerate(zip(self.ds_modules, self.cond_proj)):
             nc = lin(params["cond_proj"][str(i)], noise_cond)
-            lengths.append(x.shape[1])
-            x, res, _ = ds(params["ds_modules"][str(i)], x, noise_cond=nc)
+            node = params["ds_modules"][str(i)]
+            if packed:
+                lengths.append(x.shape[1] * pack_factor(ds.in_channels))
+                x, res, _ = ds.apply_packed(node, x, noise_cond=nc)
+            else:
+                lengths.append(x.shape[1])
+                x, res, _ = ds(node, x, noise_cond=nc)
             residuals.append(res)
 
         if self.seq_model == "gru":
+            # bottleneck channels >= 128: pack factor 1, arrays identical
             if self.gru_conv_sandwich:
                 x, *_ = self.conv_block1(params["conv_block1"], x)
             x = self.gru(params["gru"], x)
@@ -120,14 +130,26 @@ class ScoreDecoder(Module):
 
     def apply(self, params: Params, x: jax.Array, noise_cond: jax.Array,
               input_cond: Sequence[jax.Array], residuals: Sequence[jax.Array],
-              lengths: Sequence[int]) -> jax.Array:
+              lengths: Sequence[int], packed: bool = False) -> jax.Array:
+        from ..ops.packed import pack_factor, packed_pointwise_conv
+
         for i, (up, cond, res, length) in enumerate(
             zip(self.up_modules, input_cond, residuals, lengths)
         ):
             nc = self.noise_cond_proj[i](params["noise_cond_proj"][str(i)], noise_cond)
-            sc = self.signal_cond_proj[i](params["signal_cond_proj"][str(i)], cond)
-            x, *_ = up(params["up_modules"][str(i)], x, noise_cond=nc,
-                       input_cond=sc, res=res, length=length)
+            scp = self.signal_cond_proj[i]
+            node = params["signal_cond_proj"][str(i)]
+            if packed:
+                sc = packed_pointwise_conv(cond, scp.weight(node),
+                                           node.get("bias"),
+                                           pack_factor(up.out_channels))
+                x, *_ = up.apply_packed(params["up_modules"][str(i)], x,
+                                        noise_cond=nc, input_cond=sc,
+                                        res=res, length=length)
+            else:
+                sc = scp(node, cond)
+                x, *_ = up(params["up_modules"][str(i)], x, noise_cond=nc,
+                           input_cond=sc, res=res, length=length)
         return x
 
 
@@ -170,20 +192,76 @@ class ScoreNetwork(Module):
                                      padding="same", weight_norm=use_weight_norm)
         self.precoding = precoding  # optional transform module (dyn_range_comp)
 
+    def packed_eligible(self, t: int) -> bool:
+        """Can apply() run in lane-packed mode for input length t?  Requires
+        exact level lengths, prelu activations, additive-only in-block signal
+        conditioning, and no precoding (the packed ops cover exactly the
+        published UNIVERSE/UNIVERSE++ architectures)."""
+        from ..ops.packed import pack_factor
+
+        if self.precoding is not None or self.input_channels != 1:
+            return False
+        if self.output_conv.act_type != "prelu":
+            return False
+        t_level, c = t, self.n_channels
+        for r in self.rate_factors:
+            if t_level % pack_factor(c) != 0 or t_level % r != 0:
+                return False
+            t_level //= r
+            c *= 2
+        for blocks in (self.encoder.ds_modules, self.decoder.up_modules):
+            for blk in blocks:
+                if not isinstance(blk, ConvBlock):
+                    return False
+                if blk.signal_cond_proj is not None:
+                    return False
+                for cn in ("conv1", "conv2", "conv3"):
+                    if getattr(blk, cn).act_type != "prelu":
+                        return False
+        return True
+
     def apply(self, params: Params, x: jax.Array, sigma: jax.Array,
-              cond: Sequence[jax.Array]) -> jax.Array:
-        """x: (B, T, C), sigma: (B,), cond: per-stage tensors (coarse->fine)."""
+              cond: Sequence[jax.Array], packed: bool = False) -> jax.Array:
+        """x: (B, T, C), sigma: (B,), cond: per-stage tensors (coarse->fine).
+
+        packed=True runs the shallow levels in lane-packed rows (see
+        ops/packed.py); `cond` must then be packed per level (as produced by
+        ConditionerNetwork.apply(..., packed=True))."""
         n_samples = x.shape[1]
 
         if self.precoding is not None:
             x = self.precoding(params.get("precoding", {}), x)
 
         g = self.sigma_block(params["sigma_block"], jnp.log10(sigma))
-        x = self.input_conv(params["input_conv"], x)
-        h, residuals, lengths = self.encoder(params["encoder"], x, g)
-        s = self.decoder(params["decoder"], h, g, cond, residuals, lengths)
-        s = self.prelu(params["prelu"], s)
-        s = self.output_conv(params["output_conv"], s)
+        if packed:
+            from ..ops.packed import (
+                pack_factor, pack_rows, packed_prelu, packed_strided_conv,
+                unpack_rows,
+            )
+
+            p0 = pack_factor(self.n_channels)
+            node = params["input_conv"]
+            w_in = self.input_conv.weight(node)
+            x = packed_strided_conv(pack_rows(x, p0), w_in,
+                                    node.get("bias"), 1, w_in.shape[0] // 2,
+                                    p0, p0)
+            h, residuals, lengths = self.encoder(params["encoder"], x, g,
+                                                 packed=True)
+            s = self.decoder(params["decoder"], h, g, cond, residuals,
+                             lengths, packed=True)
+            s = packed_prelu(s, params["prelu"]["weight"], p0)
+            onode = params["output_conv"]
+            s = packed_prelu(s, onode["prelu"]["weight"], p0)
+            w_out = self.output_conv.conv.weight(onode["conv"])
+            s = packed_strided_conv(s, w_out, onode["conv"].get("bias"),
+                                    1, w_out.shape[0] // 2, p0, p0)
+            s = unpack_rows(s, p0, self.output_channels)
+        else:
+            x = self.input_conv(params["input_conv"], x)
+            h, residuals, lengths = self.encoder(params["encoder"], x, g)
+            s = self.decoder(params["decoder"], h, g, cond, residuals, lengths)
+            s = self.prelu(params["prelu"], s)
+            s = self.output_conv(params["output_conv"], s)
 
         if self.precoding is not None and hasattr(self.precoding, "inv"):
             s = self.precoding.inv(params.get("precoding", {}), s)

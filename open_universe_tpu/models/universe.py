@@ -170,10 +170,12 @@ class Universe(Module):
             "noise": self.edm_kwargs["noise"],
         }
 
-    def score(self, params: Params, x, sigma, cond, with_speech_est=False):
+    def score(self, params: Params, x, sigma, cond, with_speech_est=False,
+              packed=False):
         """Score function; applies the EDM wrapper when configured."""
         if not self.with_edm:
-            s = self.score_model(params["score_model"], x, sigma, cond)
+            s = self.score_model(params["score_model"], x, sigma, cond,
+                                 packed=packed)
             if with_speech_est:
                 sig2 = (sigma**2)[:, None, None]
                 return s, x + sig2 * s
@@ -183,12 +185,16 @@ class Universe(Module):
         w_out = w["out"][:, None, None]
         w_skip = w["skip"][:, None, None]
         net_out = self.score_model(
-            params["score_model"], w_in * x, w["noise"] * sigma, cond)
+            params["score_model"], w_in * x, w["noise"] * sigma, cond,
+            packed=packed)
         speech_est = w_skip * x + w_out * net_out
         score = (speech_est - x) / (sigma[:, None, None] ** 2)
         if with_speech_est:
             return score, speech_est
         return score
+
+    def transform_is_identity(self) -> bool:
+        return isinstance(self.transform, IdentityTransform)
 
     def aux_to_wav(self, params: Params, y_aux):
         return y_aux
@@ -431,10 +437,25 @@ class Universe(Module):
 
         score_snr = 5.0 if fake_score_snr is None else fake_score_snr
 
+        # Lane-packed (time-packed) execution of the conv U-Nets
+        # (ops/packed.py) is implemented and numerically exact, but measured
+        # a net LOSS on v5e at B=128: XLA already lane-packs by BATCH
+        # (layout {0,2,1}) and fuses activation/FiLM epilogues into its conv
+        # fusions at ~630 GB/s, so forcing time-packed layouts only adds
+        # boundary relayouts.  Off by default; kept for small-batch serving
+        # experiments (where batch-lanes packing starves) via
+        # OPEN_UNIVERSE_PACKED=1.
+        import os
+
+        packed = (os.environ.get("OPEN_UNIVERSE_PACKED") == "1"
+                  and self.score_model.packed_eligible(mix.shape[1])
+                  and self.condition_model.packed_eligible(mix.shape[1])
+                  and self.transform_is_identity())
+
         def score_fn(x, s, cond, k):
             if target_t is None:
                 return self.score(params, x.astype(net_dtype),
-                                  s.astype(net_dtype), cond
+                                  s.astype(net_dtype), cond, packed=packed
                                   ).astype(jnp.float32)
             true_score = -(x - target_t) / s[:, None, None] ** 2
             score_rms = jnp.sqrt(jnp.mean(true_score**2))
@@ -454,7 +475,7 @@ class Universe(Module):
 
         cond, aux_signal, _ = self.condition_model(
             params["condition_model"], mix.astype(net_dtype),
-            x_wav=mix_wav.astype(net_dtype), train=True)
+            x_wav=mix_wav.astype(net_dtype), train=True, packed=packed)
         aux_signal = aux_signal.astype(jnp.float32)
 
         if use_aux_signal:

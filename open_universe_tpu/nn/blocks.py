@@ -298,3 +298,116 @@ class ConvBlock(Module):
             h_out = self.rate_change_conv(params["rate_change_conv"], v_pad)
             return h_out, v_out, cond_out
         return v_out, v_out, cond_out
+
+    # ------------------------------------------------------------------
+    # Packed (lane-packed rows) execution — see ops/packed.py.  Tensors are
+    # (B, T/P, P*C) with P = pack_factor(C); identical math, ~half the HBM
+    # traffic at shallow levels once the Pallas fused chain engages.
+    # ------------------------------------------------------------------
+
+    def _packed_rate_conv(self, params: Params, x_rows: jax.Array) -> jax.Array:
+        from ..ops import packed as pk
+
+        rc = self.rate_change_conv
+        node = params["rate_change_conv"]
+        p_in = pk.pack_factor(self.in_channels)
+        p_out = pk.pack_factor(self.out_channels)
+        x_rows = pk.packed_prelu(x_rows, node["prelu"]["weight"], p_in)
+        w = rc.conv.weight(node["conv"])
+        aa = binomial_filter(2 * self.rate + 1) if rc.antialiasing else None
+        conv_bias = node["conv"].get("bias")
+        if rc.use_transpose:
+            y = pk.packed_transposed_conv(x_rows, w, conv_bias, self.rate, 0,
+                                          p_in, p_out, aa_filter=aa)
+        else:
+            y = pk.packed_strided_conv(x_rows, w, conv_bias, self.rate, 0,
+                                       p_in, p_out, aa_filter=aa)
+        if rc.manual_bias:
+            y = y + jnp.tile(node["bias"], p_out).astype(y.dtype)
+        return y
+
+    def _packed_chain(self, params: Params, h: jax.Array, p: int,
+                      t_valid: int, noise_cond, input_cond):
+        from ..ops import packed as pk
+        from ..ops import pallas as pallas_config
+
+        c = self.out_channels if self.rate_change_dir != "down" \
+            else self.in_channels
+        nodes = [params[n] for n in ("conv1", "conv2", "conv3")]
+        weights = [getattr(self, n).conv.weight(node["conv"])
+                   for n, node in zip(("conv1", "conv2", "conv3"), nodes)]
+        biases = [node["conv"].get("bias") for node in nodes]
+        slopes = [node["prelu"]["weight"] for node in nodes]
+
+        if (pallas_config.enabled() and self.signal_cond_proj is None
+                and all(getattr(self, n).act_type == "prelu"
+                        for n in ("conv1", "conv2", "conv3"))
+                and all(s.shape == (1,) for s in slopes)):
+            from ..ops.pallas.conv_block import fused_conv_chain_rows
+
+            fused = fused_conv_chain_rows(
+                h, p, c,
+                weights[0], biases[0], slopes[0],
+                weights[1], biases[1], slopes[1],
+                weights[2], biases[2], slopes[2],
+                noise_cond=noise_cond, input_cond_rows=input_cond)
+            if fused is not None:
+                return fused
+
+        cond_out = pk.packed_same_conv(
+            pk.packed_prelu(h, slopes[0], p), weights[0], biases[0], p)
+        if input_cond is not None:
+            if self.signal_cond_proj is not None:
+                raise NotImplementedError(
+                    "packed path supports additive signal conditioning only")
+            cc = (cond_out + input_cond) * SQRT_HALF
+        else:
+            cc = cond_out
+        if noise_cond is not None:
+            cc = pk.packed_film(cc, noise_cond, p)
+        cc = pk.packed_same_conv(
+            pk.packed_prelu(cc, slopes[1], p), weights[1], biases[1], p)
+        cc = pk.packed_same_conv(
+            pk.packed_prelu(cc, slopes[2], p), weights[2], biases[2], p)
+        return (h + cc) * SQRT_HALF, cond_out
+
+    def apply_packed(
+        self,
+        params: Params,
+        h: jax.Array,
+        noise_cond: Optional[jax.Array] = None,
+        input_cond: Optional[jax.Array] = None,
+        res: Optional[jax.Array] = None,
+        length: Optional[int] = None,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """apply() on lane-packed rows; all array args/returns are packed
+        with the pack factor implied by their channel count.  Requires exact
+        level lengths (no stride-remainder or length-repair padding), which
+        holds whenever T is a multiple of the total downsampling factor."""
+        from ..ops import packed as pk
+
+        if self.rate_change_dir == "up":
+            if length is not None and self.rate * h.shape[1] * pk.pack_factor(
+                    self.in_channels) != length:
+                raise NotImplementedError(
+                    "packed path requires exact up-sampled lengths")
+            h = self._packed_rate_conv(params, h)
+
+        p = pk.pack_factor(self.out_channels if self.rate_change_dir != "down"
+                           else self.in_channels)
+
+        if res is not None:
+            if self.rate_change_dir == "down":
+                raise ValueError("residual input not allowed for down blocks")
+            h = (h + res) * SQRT_HALF
+
+        t_valid = h.shape[1] * p
+        v_out, cond_out = self._packed_chain(params, h, p, t_valid,
+                                             noise_cond, input_cond)
+
+        if self.rate_change_dir == "down":
+            assert (h.shape[1] * p) % self.rate == 0, \
+                "packed path requires stride-aligned lengths"
+            h_out = self._packed_rate_conv(params, v_out)
+            return h_out, v_out, cond_out
+        return v_out, v_out, cond_out

@@ -16,25 +16,20 @@ def enable(flag: bool = True, interpret: bool = False, allow_repack: bool = Fals
 
 
 def enabled() -> bool:
-    """On by default inside inference scopes on the TPU backend (the fused
-    ConvBlock kernel has no custom VJP, so training paths never see it
-    unless explicitly enabled); `enable(True/False)` overrides globally.
-
-    The kernel engages only where it beats XLA: C in [128, 256], where the
-    lane layout is already MXU-native (measured 1.65x at C=128, 1.14x at
-    C=256 vs XLA on v5e, B=128).  For C < 128 the required (B,T,C) ->
-    (B,T/P,PC) lane packing is a physical relayout (~2.8 ms per tensor at
-    B=128, T=32k) that eats the kernel's win; those levels need the packed-
-    layout execution mode (`allow_repack=True` forces them anyway for
-    experiments)."""
+    """OFF by default — measured verdict on v5e at inference batch sizes:
+    XLA lane-packs these convs by BATCH (layout {0,2,1}, B in the 128-lane
+    dim) and fuses the PReLU/FiLM/residual epilogues into its conv fusions
+    at ~630 GB/s effective, while the Mosaic grid pipeline sustains ~350
+    GB/s here — so the fused chain's 2-3x traffic reduction nets out to a
+    loss in-graph (e.g. 1180 -> 985 audio-s/s when auto-enabled in the
+    enhance scan).  The kernels are numerically verified at all channel
+    widths, including lane-packed rows and non-divisible tails; enable
+    explicitly for small-batch regimes where batch-lanes packing starves
+    (B < ~32) or for experiments.  A batch-in-lanes kernel variant is the
+    open perf item."""
     if _STATE["enabled"] is not None:
         return _STATE["enabled"]
-    if not _STATE.get("inference_depth", 0):
-        return False
-    try:
-        return jax.default_backend() not in ("cpu",)
-    except Exception:  # pragma: no cover
-        return False
+    return False
 
 
 class inference_scope:

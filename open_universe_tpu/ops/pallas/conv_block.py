@@ -77,13 +77,17 @@ def _pack_conv_weights(w: jax.Array, p: int) -> jax.Array:
 
 
 def pick_tile_rows(rows: int, target: int = 2048, align: int = 8) -> Optional[int]:
-    """Largest divisor of `rows` that is <= target and a multiple of `align`
-    (halo blocks must tile the row dim); None if none exists above a minimum."""
+    """Tile size: a multiple of `align` (halo-block granularity), ideally a
+    divisor of `rows` <= target, otherwise just <= target (the kernel masks
+    the partial tail tile); None if rows is too small to tile."""
     best = None
     for d in range(align, min(rows, target) + 1, align):
         if rows % d == 0:
             best = d
-    return best if best is not None and best >= 64 else None
+    if best is not None and best >= 64:
+        return best
+    tile = (min(rows, target) // align) * align
+    return tile if tile >= 64 else None
 
 
 def _kernel(h_l, h_c, h_r, cond_l, cond_c, cond_r, w5_ref, b5_ref,
@@ -96,18 +100,6 @@ def _kernel(h_l, h_c, h_r, cond_l, cond_c, cond_r, w5_ref, b5_ref,
     r0 = i * tile_r
     lanes = p * c
 
-    # the clamped edge blocks carry garbage at i==0 / i==n_tiles-1; a chain
-    # of 'same' convs sees zeros there
-    lmask = jnp.where(i == 0, 0.0, 1.0)
-    rmask = jnp.where(i == n_tiles - 1, 0.0, 1.0)
-
-    def window(l_ref, c_ref, r_ref):
-        left = (l_ref[0].astype(jnp.float32) * lmask).astype(l_ref.dtype)
-        right = (r_ref[0].astype(jnp.float32) * rmask).astype(r_ref.dtype)
-        return jnp.concatenate([left, c_ref[0], right], axis=0)
-
-    h = window(h_l, h_c, h_r)
-
     lane_blk = (jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
                 // c).astype(jnp.float32)
 
@@ -119,6 +111,17 @@ def _kernel(h_l, h_c, h_r, cond_l, cond_c, cond_r, w5_ref, b5_ref,
             + jnp.float32(row_offset - HALO) + r0.astype(jnp.float32)
         pos = g_row * jnp.float32(p) + lane_blk
         return jnp.logical_and(pos >= 0.0, pos < jnp.float32(t_valid))
+
+    win = 2 * HALO + tile_r
+
+    def window(l_ref, c_ref, r_ref):
+        # the clamped/partial edge blocks carry garbage at the array
+        # boundaries and in the tail of a non-divisible last tile; a chain of
+        # 'same' convs sees zeros outside [0, t_valid)
+        w = jnp.concatenate([l_ref[0], c_ref[0], r_ref[0]], axis=0)
+        return jnp.where(valid_mask(win, 0), w, jnp.zeros_like(w))
+
+    h = window(h_l, h_c, h_r)
 
     a1, a2, a3 = alphas_ref[0, 0], alphas_ref[0, 1], alphas_ref[0, 2]
 
@@ -189,24 +192,49 @@ def fused_conv_chain(
     scalar PReLU slopes; noise_cond: (B, 2C) FiLM source; input_cond:
     (B, T, C) additive signal conditioning.  Returns (v, cond_out), or None
     when the shape doesn't tile cleanly (caller falls back to XLA).
+
+    NOTE: at C < 128 the (B,T,C)->(B,T/P,PC) reshape is a physical relayout;
+    callers already holding packed rows should use fused_conv_chain_rows.
     """
     b, t, c = h.shape
-    dtype = h.dtype
     p = max(1, 128 // c)
-    lanes = p * c
-    d5 = (2 + p - 1) // p  # conv5 row halo
-
     if t % p != 0:
         return None
+    out = fused_conv_chain_rows(
+        h.reshape(b, t // p, p * c), p, c,
+        w5, b5, alpha1, w3a, b3a, alpha2, w3b, b3b, alpha3,
+        noise_cond=noise_cond,
+        input_cond_rows=None if input_cond is None
+        else input_cond.reshape(b, t // p, p * c),
+        tile_target=tile_target)
+    if out is None:
+        return None
+    v, cond_out = out
+    return v.reshape(b, t, c), cond_out.reshape(b, t, c)
+
+
+def fused_conv_chain_rows(
+    h_rows: jax.Array, p: int, c: int,
+    w5: jax.Array, b5: jax.Array, alpha1: jax.Array,
+    w3a: jax.Array, b3a: jax.Array, alpha2: jax.Array,
+    w3b: jax.Array, b3b: jax.Array, alpha3: jax.Array,
+    noise_cond: Optional[jax.Array] = None,
+    input_cond_rows: Optional[jax.Array] = None,
+    tile_target: int = 2048,
+) -> Optional[Tuple[jax.Array, jax.Array]]:
+    """Rows-level entry: operands already lane-packed (B, T/P, P*C)."""
+    b, rows, lanes = h_rows.shape
+    t = rows * p
+    dtype = h_rows.dtype
+    d5 = (2 + p - 1) // p  # conv5 row halo
+
     halo = _sublane(dtype)
-    rows = t // p
     tile_r = pick_tile_rows(rows, tile_target, align=halo)
     if tile_r is None or rows < 2 * halo:
         return None
-    n_tiles = rows // tile_r
+    n_tiles = -(-rows // tile_r)  # ceil: the partial tail tile is masked
 
-    h_rows = h.reshape(b, rows, lanes)  # zero-copy lane packing
-    with_cond = input_cond is not None
+    with_cond = input_cond_rows is not None
     with_film = noise_cond is not None
 
     if with_film:
@@ -228,7 +256,7 @@ def fused_conv_chain(
     # masked in-kernel): the Mosaic grid pipeline double-buffers them like
     # any other input, so total input traffic is (1 + 2*halo/tile_r) reads
     R = tile_r // halo          # halo blocks per tile
-    NH = rows // halo           # total halo blocks
+    NH = -(-rows // halo)       # total halo blocks (last may be partial)
 
     def spec_center():
         return pl.BlockSpec((1, tile_r, lanes), lambda b_, i: (b_, i, 0),
@@ -248,9 +276,8 @@ def fused_conv_chain(
     in_specs = [spec_left(), spec_center(), spec_right()]
     inputs = [h_rows, h_rows, h_rows]
     if with_cond:
-        cond_rows = input_cond.reshape(b, rows, lanes)
         in_specs += [spec_left(), spec_center(), spec_right()]
-        inputs += [cond_rows, cond_rows, cond_rows]
+        inputs += [input_cond_rows, input_cond_rows, input_cond_rows]
     else:
         dummy = jnp.zeros((b, 1, 1, lanes), dtype)
         tiny = pl.BlockSpec((1, 1, 1, lanes), lambda b_, i: (b_, 0, 0, 0),
@@ -308,4 +335,4 @@ def fused_conv_chain(
                  alpha3.reshape(())]).reshape(1, 3).astype(jnp.float32),
       film.astype(dtype))
 
-    return v.reshape(b, t, c), cond_out.reshape(b, t, c)
+    return v, cond_out
