@@ -67,6 +67,21 @@ class DiscriminatorP(Module):
         return x.reshape(b, -1), fmap
 
 
+def _paired_apply(disc, params, y, y_hat):
+    """Run one discriminator on real+fake stacked along batch.
+
+    One conv pass at 2B instead of two at B: mathematically identical
+    (convs are batch-parallel) but ~1.5x faster on TPU at the reference
+    batch 40, where the lane dimension holds the batch (80/128 lanes
+    filled instead of 40/128) and per-op overheads halve.
+    """
+    b = y.shape[0]
+    s, f = disc(params, jnp.concatenate([y, y_hat], axis=0))
+    fm_r = [h[:b] for h in f]
+    fm_g = [h[b:] for h in f]
+    return s[:b], s[b:], fm_r, fm_g
+
+
 class MultiPeriodDiscriminator(Module):
     def __init__(self, cfg: dict):
         self.periods = list(cfg.get("mpd_reshapes", [2, 3, 5, 7, 11]))
@@ -77,8 +92,7 @@ class MultiPeriodDiscriminator(Module):
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
         for i, d in enumerate(self.discriminators):
             p = params["discriminators"][str(i)]
-            s_r, f_r = d(p, y)
-            s_g, f_g = d(p, y_hat)
+            s_r, s_g, f_r, f_g = _paired_apply(d, p, y, y_hat)
             y_d_rs.append(s_r)
             y_d_gs.append(s_g)
             fmap_rs.append(f_r)
@@ -139,8 +153,7 @@ class MultiResolutionDiscriminator(Module):
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
         for i, d in enumerate(self.discriminators):
             p = params["discriminators"][str(i)]
-            s_r, f_r = d(p, y)
-            s_g, f_g = d(p, y_hat)
+            s_r, s_g, f_r, f_g = _paired_apply(d, p, y, y_hat)
             y_d_rs.append(s_r)
             y_d_gs.append(s_g)
             fmap_rs.append(f_r)

@@ -138,6 +138,19 @@ class Universe(Module):
         return ("score_model", "condition_model")
 
     # ------------------------------------------------------------- primitives
+    def _train_dtype(self):
+        """Mixed-precision training policy (training.compute_dtype=bf16):
+        networks run in bfloat16, losses/params/optimizer stay float32."""
+        cd = self.train_kwargs.get("compute_dtype")
+        if cd in ("bf16", "bfloat16"):
+            return jnp.bfloat16
+        return None
+
+    def _cast_tree(self, tree, dtype):
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, tree)
+
     def normalize_batch(self, batch, norm=None):
         if norm is None:
             norm = self.normalization_norm
@@ -263,6 +276,16 @@ class Universe(Module):
                        pr_cum=None, bins=None):
         """mix/target: (B, T, C), already amplitude-normalized."""
         k_sigma, k_noise = jax.random.split(key)
+        dt = self._train_dtype()
+        if dt is not None:
+            # networks in bf16; sigma must follow or x_t (and with it the
+            # whole score U-Net) silently promotes back to f32.  The MDN loss
+            # modules keep f32 params, so losses compute in f32.
+            cast_keys = [k for k in self.model_param_keys() if k in params]
+            params = {**params,
+                      **{k: self._cast_tree(params[k], dt) for k in cast_keys}}
+            mix = mix.astype(dt)
+            target = target.astype(dt)
         tp = params.get("transform", {})
         mix_trans = self.transform(tp, mix)
         tgt_trans = self.transform(tp, target)
@@ -278,9 +301,10 @@ class Universe(Module):
 
         sigma, _ = self.sample_sigma(k_sigma, mix.shape[0], time_sampling,
                                      t_min, t_max, pr_cum=pr_cum, bins=bins)
+        sigma_c = sigma.astype(tgt_trans.dtype)
 
         z = jax.random.normal(k_noise, tgt_trans.shape, tgt_trans.dtype)
-        x_t = tgt_trans + sigma[:, None, None] * z
+        x_t = tgt_trans + sigma_c[:, None, None] * z
 
         remat = train and self.train_kwargs.get("remat", False)
         cond_fn = (jax.checkpoint(self._cond_train)
@@ -291,8 +315,10 @@ class Universe(Module):
         if self.detach_cond:
             cond = [jax.lax.stop_gradient(c) for c in cond]
 
-        score = score_fn(params, x_t, sigma, cond)
-        l_score = jnp.mean(jnp.square(sigma[:, None, None] * score + z))
+        score = score_fn(params, x_t, sigma_c, cond)
+        l_score = jnp.mean(jnp.square(
+            sigma[:, None, None] * score.astype(jnp.float32)
+            + z.astype(jnp.float32)))
 
         if not train:
             return l_score

@@ -73,17 +73,6 @@ class UniverseGAN(Universe):
         return y_aux
 
     # --------------------------------------------------------------- GAN parts
-    def _train_dtype(self):
-        cd = self.train_kwargs.get("compute_dtype")
-        if cd in ("bf16", "bfloat16"):
-            return jnp.bfloat16
-        return None
-
-    def _cast_tree(self, tree, dtype):
-        return jax.tree_util.tree_map(
-            lambda a: a.astype(dtype)
-            if jnp.issubdtype(a.dtype, jnp.floating) else a, tree)
-
     def generator_forward(self, params: Params, key, mix, target,
                           target_original):
         """One forward pass of the generator nets.
@@ -108,7 +97,12 @@ class UniverseGAN(Universe):
         sigma, _ = self.sample_sigma(
             k_sigma, mix.shape[0], self.train_kwargs["time_sampling"], 0.0, 1.0)
         z = jax.random.normal(k_noise, target_t.shape, target_t.dtype)
-        x_t = target_t + sigma[:, None, None] * z
+        # keep sigma in the network compute dtype through x_t and the score
+        # net: an f32 sigma would promote x_t -- and with it the whole score
+        # U-Net -- to f32 even under compute_dtype=bf16 (the loss-side sigma
+        # stays f32 via the astype(jnp.float32) on the outputs below)
+        sigma_c = sigma.astype(target_t.dtype)
+        x_t = target_t + sigma_c[:, None, None] * z
 
         remat = self.train_kwargs.get("remat", False)
         cond_fn = (jax.checkpoint(self._cond_train)
@@ -119,7 +113,7 @@ class UniverseGAN(Universe):
         if self.detach_cond:
             cond = [jax.lax.stop_gradient(c) for c in cond]
 
-        score = score_fn(params, x_t, sigma, cond)
+        score = score_fn(params, x_t, sigma_c, cond)
 
         if self.signal_decoupling_layer is not None:
             y_est = self.signal_decoupling_layer(

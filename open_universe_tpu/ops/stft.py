@@ -42,17 +42,24 @@ def frame(x: jax.Array, frame_length: int, hop: int) -> jax.Array:
     n_frames = (t - frame_length) // hop + 1
     if n_frames <= 0:
         raise ValueError(f"signal too short: T={t} < frame_length={frame_length}")
-    if frame_length % hop == 0:
-        # gather-free path: reshape into hop-sized blocks and stack shifted
-        # windows of consecutive blocks.
-        ratio = frame_length // hop
-        n_blocks = t // hop
-        usable = n_blocks * hop
-        blocks = x[..., :usable].reshape(x.shape[:-1] + (n_blocks, hop))
-        parts = [blocks[..., i : i + n_frames, :] for i in range(ratio)]
-        return jnp.concatenate(parts, axis=-1)
-    idx = (np.arange(n_frames)[:, None] * hop + np.arange(frame_length)[None, :])
-    return jnp.take(x, jnp.asarray(idx), axis=-1)
+    # Gather-free for ANY (frame_length, hop): frame with the length rounded
+    # up to a multiple of hop (a stack of `ratio` shifted hop-block slices),
+    # then drop the surplus tail columns.  A take-based gather here costs a
+    # scatter-add in the backward pass (~12 ms/step for the MRD discriminator
+    # spectrograms at batch 40 on v5e); slices/concats transpose to
+    # pad-and-add instead.
+    ratio = -(-frame_length // hop)
+    n_blocks_needed = n_frames - 1 + ratio
+    usable = n_blocks_needed * hop
+    if usable > t:
+        cfg = [(0, 0)] * (x.ndim - 1) + [(0, usable - t)]
+        x = jnp.pad(x, cfg)
+    blocks = x[..., :usable].reshape(x.shape[:-1] + (n_blocks_needed, hop))
+    parts = [blocks[..., i : i + n_frames, :] for i in range(ratio)]
+    out = jnp.concatenate(parts, axis=-1)
+    if ratio * hop != frame_length:
+        out = out[..., :frame_length]
+    return out
 
 
 def stft(

@@ -136,3 +136,84 @@ def test_data_parallel_train_step_on_mesh():
     # parameters remain replicated after the update
     leaf = state["params"]["score_model"]["input_conv"]["weight"]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_paired_discriminator_matches_separate_passes():
+    """MPD/MRD run real+fake as one 2B batch; must equal two separate B
+    passes exactly (convs are batch-parallel)."""
+    from open_universe_tpu.models.discriminators import (
+        DiscriminatorP,
+        DiscriminatorR,
+        _paired_apply,
+    )
+
+    cfg = {"discriminator_channel_mult": 0.25}
+    key = jax.random.key(0)
+    y = jax.random.normal(key, (3, T, 1)) * 0.1
+    y_hat = jax.random.normal(jax.random.fold_in(key, 1), (3, T, 1)) * 0.1
+
+    for disc in (DiscriminatorP(cfg, period=3),
+                 DiscriminatorR(cfg, resolution=[128, 30, 75])):
+        p = disc.init(jax.random.key(7))
+        s_r_ref, f_r_ref = disc(p, y)
+        s_g_ref, f_g_ref = disc(p, y_hat)
+        s_r, s_g, f_r, f_g = _paired_apply(disc, p, y, y_hat)
+        np.testing.assert_allclose(s_r, s_r_ref, rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(s_g, s_g_ref, rtol=1e-6, atol=1e-6)
+        for a, b in zip(f_r, f_r_ref):
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+        for a, b in zip(f_g, f_g_ref):
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("gan", [False, True])
+def test_bf16_training_matches_f32_loosely(gan):
+    """training.compute_dtype=bf16 runs the nets in bfloat16 (losses f32);
+    the resulting losses must be finite and close-ish to the f32 step."""
+    def build(compute_dtype):
+        score, cond = _nets(**({"use_weight_norm": True,
+                                "time_embedding": "simple"} if gan else {}))
+        training = {"audio_len": T / FS, "time_sampling": "time_uniform",
+                    "ema_decay": 0.999}
+        if compute_dtype:
+            training["compute_dtype"] = compute_dtype
+        if gan:
+            return UniverseGAN(
+                fs=FS, score_model=score, condition_model=cond,
+                losses={
+                    "multi_period_discriminator": {
+                        "mpd_reshapes": [2], "discriminator_channel_mult": 0.25},
+                    "multi_resolution_discriminator": {
+                        "resolutions": [[128, 30, 75], [256, 60, 150],
+                                        [64, 12, 30]],
+                        "discriminator_channel_mult": 0.25},
+                    "weights": {"mel_l1": 45.0, "score": 1.0},
+                },
+                training=training,
+                normalization_kwargs={"ref": "both", "level_db": -26.0},
+                edm={"noise": 0.25})
+        return Universe(fs=FS, score_model=score, condition_model=cond,
+                        losses={"weights": {"score": 1.0, "signal": 1.0,
+                                            "latent": 1.0}, "mdn_n_comp": 2},
+                        training=training,
+                        normalization_kwargs={"ref": "both", "level_db": -26.0})
+
+    batch = _batch(jax.random.key(5), b=4)
+    key = jax.random.key(11)
+    vals = {}
+    for cd in (None, "bf16"):
+        model = build(cd)
+        params = model.init(jax.random.key(0))
+        if gan:
+            out = model.generator_forward(
+                params, key, batch["noisy"], batch["clean"], batch["clean"])
+            assert out["y_est"].dtype == jnp.float32
+            vals[cd] = float(jnp.mean(jnp.abs(out["y_est"])))
+        else:
+            loss, metrics = model.training_losses(
+                params, key, batch["noisy"], batch["clean"])
+            assert jnp.asarray(loss).dtype == jnp.float32
+            vals[cd] = float(metrics["train/score"])
+        assert np.isfinite(vals[cd])
+    # bf16 nets track the f32 result loosely (random init, small magnitudes)
+    assert abs(vals["bf16"] - vals[None]) <= 0.1 * (abs(vals[None]) + 1.0)
