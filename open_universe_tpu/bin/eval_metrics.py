@@ -99,7 +99,21 @@ def main(argv=None):
     parser.add_argument("--metrics", nargs="+",
                         choices=Metrics.get_metric_names())
     parser.add_argument("--save-every", type=int, default=100)
+    parser.add_argument(
+        "--device", choices=("cpu", "default"), default="cpu",
+        help="jax platform for the jax-based metrics (lsd/stoi/si-sdr). "
+        "Offline metric evaluation is a host-side workload: full-length "
+        "files have per-length jit recompiles that crawl on a TPU backend, "
+        "so 'cpu' is the default; 'default' keeps the session platform.")
     args = parser.parse_args(argv)
+
+    if args.device == "cpu":
+        import jax
+
+        try:  # too late if a backend was already initialized; best effort
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
 
     deg_path = args.enhanced_path
     ds_name = deg_path.stem

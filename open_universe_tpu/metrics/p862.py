@@ -161,9 +161,19 @@ def _fft_gain_filter(x, fs, table_db):
 
 
 def _fix_power_level(x, fs):
-    """Scale so the 350-3250 Hz band has average power TARGET_AVG_POWER."""
+    """Scale so the 350-3250 Hz band has average power TARGET_AVG_POWER.
+
+    Degenerate (non-speech) inputs with almost no energy in the alignment
+    band — e.g. a pure tone below 350 Hz, whose only in-band content is
+    spectral-leakage skirts — would otherwise be blown up by a huge scale
+    factor (and ref/deg scaled inconsistently); fall back to full-band power
+    when the band holds less than 1% of the total.  Speech is far above
+    this (typically 30-80% in-band after the bandpass)."""
     band = _fft_gain_filter(x, fs, _ALIGN_FILTER_DB)
     p = float(np.mean(band ** 2))
+    p_tot = float(np.mean(np.asarray(x) ** 2))
+    if p <= 1e-2 * p_tot:
+        p = p_tot
     if p <= 0:
         return x
     return x * np.sqrt(TARGET_AVG_POWER / p)

@@ -45,7 +45,15 @@ def _sinc_kernel_np(orig: int, new: int) -> tuple:
 
 
 def resample(x: jax.Array, orig: int, new: int) -> jax.Array:
-    """Polyphase sinc resample along the time axis; x: (B, T, C)."""
+    """Polyphase sinc resample along the time axis; x: (B, T, C).
+
+    Perf note (v5e, batch 40, (40,32000,32) bf16 fwd+bwd through the
+    up->act->down sandwich): this fold-channels-into-batch NCW form measures
+    24.4 ms, a channels-last depthwise (grouped) conv 26.9 ms, and a dense
+    conv with a diagonal channel-preserving kernel 30.8 ms — the op is
+    layout/lane-starved at this batch in every conv formulation, so the
+    simplest torch-matching one is kept.
+    """
     kernel_np, width, orig, new = _sinc_kernel_np(orig, new)
     if orig == new:
         return x

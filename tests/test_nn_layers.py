@@ -113,3 +113,26 @@ def test_binomial_filter_matches_reference_formula():
         ref = (binomial[k - 1, :] / norm).astype("float32")
         ref = ref / np.sqrt(np.mean(ref**2))
         np.testing.assert_allclose(np.asarray(binomial_filter(k)), ref, rtol=1e-6)
+
+
+def test_snake_resample_polyphase_reference():
+    """resample() must implement the torchaudio sinc_interp_hann polyphase
+    design exactly: y[f*new + p] = sum_j k[p, j] * x_pad[f*orig + j]."""
+    import math as _math
+
+    from open_universe_tpu.nn.snake import _sinc_kernel_np, resample
+
+    rng = np.random.default_rng(3)
+    for orig, new in [(1, 2), (2, 1)]:
+        kernel, width, o2, n2 = _sinc_kernel_np(orig, new)
+        b, t, c = 2, 50, 3
+        x = rng.standard_normal((b, t, c)).astype(np.float32)
+        xp = np.pad(x, ((0, 0), (width, width + orig), (0, 0)))
+        target = int(_math.ceil(new * t / orig))
+        taps = kernel.shape[1]
+        ref = np.zeros((b, target, c), np.float32)
+        for i in range(target):
+            f, p = divmod(i, new)
+            ref[:, i] = np.einsum("btc,t->bc", xp[:, f * orig : f * orig + taps], kernel[p])
+        got = np.asarray(resample(jnp.asarray(x), orig, new))
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)

@@ -104,3 +104,36 @@ def test_pesq_batched_wrapper(speechish):
     batch = np.stack([x, np.roll(x, 7)])[:, None, :]
     val = PESQ(mode="wb", audio_fs=fs)(batch, batch)
     assert val == pytest.approx(4.6439, abs=1e-3)
+
+
+def test_pesq_snr_monotonic_and_calibrated(speechish):
+    """Scores degrade monotonically with additive-noise SNR and stay in a
+    plausible MOS band at each level (regression for the level-alignment
+    blow-up on low-in-band-energy signals)."""
+    fs, x = speechish
+    rng = np.random.default_rng(7)
+    scores = []
+    for snr in (40, 30, 20, 10, 0):
+        n = rng.standard_normal(len(x))
+        n *= np.sqrt(np.mean(x**2)) / np.sqrt(np.mean(n**2)) * 10 ** (-snr / 20)
+        scores.append(pesq(fs, x, x + n, mode="wb"))
+    assert all(a > b for a, b in zip(scores, scores[1:])), scores
+    assert scores[0] > 3.5, scores       # 40 dB SNR: nearly transparent
+    assert scores[-1] < 2.0, scores      # 0 dB SNR: bad
+
+
+def test_pesq_low_inband_energy_guard():
+    """A pure tone below the 350 Hz alignment band must not blow up the
+    level normalization: identical -> fixed point, noisy -> monotone."""
+    fs = 16000
+    t = np.arange(fs * 2) / fs
+    x = 0.1 * np.sin(2 * np.pi * 220 * t)
+    assert abs(pesq(fs, x, x, mode="wb") - 4.644) < 0.01
+    rng = np.random.default_rng(3)
+    prev = 5.0
+    for snr in (40, 20, 10):
+        n = rng.standard_normal(len(x))
+        n *= np.sqrt(np.mean(x**2)) / np.sqrt(np.mean(n**2)) * 10 ** (-snr / 20)
+        s = pesq(fs, x, x + n, mode="wb")
+        assert s <= prev + 1e-9
+        prev = s
