@@ -66,6 +66,11 @@ def main(argv=None):
                         help="clips enhanced per jitted call (per bucket)")
     parser.add_argument("--bucket-seconds", type=float, default=1.0,
                         help="length-bucket quantum for batching")
+    parser.add_argument("--chunk-seconds", type=float, default=None,
+                        help="process each file in fixed chunks of this many "
+                        "seconds with 25%% overlap-add crossfade (one static "
+                        "shape -> one compile for any duration; use for long "
+                        "recordings)")
     argv = list(sys.argv[1:] if argv is None else argv)
     want_help = "-h" in argv or "--help" in argv
     args, _ = parser.parse_known_args([a for a in argv
@@ -89,12 +94,46 @@ def main(argv=None):
         print(f"no audio files found under {args.input}", file=sys.stderr)
         return 1
 
+    key = jax.random.key(args.seed)
+
+    if args.chunk_seconds is not None:
+        from ..inference.chunked import make_chunked_enhancer
+
+        enhancer = make_chunked_enhancer(
+            model, chunk_seconds=args.chunk_seconds,
+            max_batch=args.batch_size, **enhance_kwargs)
+        n_done = 0
+        t0 = time.perf_counter()
+        total_audio = 0.0
+        for path in files:
+            audio, fs = load_audio(path)
+            if fs != model.fs:
+                audio = resample_audio(audio, fs, model.fs)
+            key, sub = jax.random.split(key)
+            out = enhancer(params, audio[0], key=sub)
+            total_audio += len(out) / model.fs
+            if fs != model.fs:
+                out = resample_audio(out, model.fs, fs)
+            if dir_proc:
+                out_path = args.output / path.relative_to(rel_path)
+            else:
+                out_path = (args.output / path.name
+                            if args.output.is_dir() else args.output)
+            out_path.parent.mkdir(exist_ok=True, parents=True)
+            save_audio(out_path.with_suffix(".wav"), out, fs)
+            n_done += 1
+            print(f"[{n_done}/{len(files)}] {path.name}", file=sys.stderr)
+        dt = time.perf_counter() - t0
+        print(f"enhanced {n_done} files ({total_audio:.1f}s audio) in "
+              f"{dt:.1f}s ({total_audio / max(dt, 1e-9):.1f}x realtime)",
+              file=sys.stderr)
+        return 0
+
     quantum = int(args.bucket_seconds * model.fs)
     batches = _bucket(files, model.fs, args.batch_size, quantum)
 
     jit_enhance = jax.jit(
         lambda p, mix, key: model.enhance(p, mix, key=key, **enhance_kwargs))
-    key = jax.random.key(args.seed)
 
     n_done = 0
     t0 = time.perf_counter()

@@ -93,3 +93,23 @@ def test_eval_metrics_and_make_table_cli(tmp_path, rng, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "tiny" in out and "si-sdr" in out
+
+
+def test_enhance_cli_chunked(tmp_path, tiny_ckpt, rng):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir(parents=True)
+    fs = 16000
+    t = int(0.8 * fs)
+    x = 0.1 * np.sin(2 * np.pi * 250 * np.arange(t) / fs) \
+        + 0.02 * rng.standard_normal(t)
+    save_audio(in_dir / "long.wav", x.astype(np.float32), fs)
+
+    out_dir = tmp_path / "out"
+    from open_universe_tpu.bin.enhance import main
+
+    rc = main([str(in_dir), str(out_dir), "--model", str(tiny_ckpt),
+               "--chunk-seconds", "0.3", "--batch-size", "2", "--n_steps", "2"])
+    assert rc == 0
+    enh, fs2 = load_audio(out_dir / "long.wav")
+    assert fs2 == fs and enh.shape[-1] == t
+    assert np.isfinite(enh).all()
