@@ -248,6 +248,7 @@ class Trainer:
                 if step % self.checkpoint_every == 0:
                     self.save(step)
         self.save(step, last=True)
+        self._wait_for_saves()
         return self.state
 
     # ------------------------------------------------------------------
@@ -341,22 +342,36 @@ class Trainer:
         self._first_val_done = True
 
     # ------------------------------------------------------------------
+    def _checkpointer(self):
+        """Persistent AsyncCheckpointer: the storage write overlaps training
+        (only the host copy of the state is synchronous), so a multi-GB
+        checkpoint does not stall the step loop."""
+        if getattr(self, "_async_ckptr", None) is None:
+            import orbax.checkpoint as ocp
+
+            self._async_ckptr = ocp.AsyncCheckpointer(
+                ocp.PyTreeCheckpointHandler())
+        return self._async_ckptr
+
+    def _wait_for_saves(self):
+        if getattr(self, "_async_ckptr", None) is not None:
+            self._async_ckptr.wait_until_finished()
+
     def save(self, step: int, last: bool = False):
         if jax.process_count() > 1 and jax.process_index() != 0:
             return  # single-controller write; orbax multihost handled upstream
-        import orbax.checkpoint as ocp
-
+        ckptr = self._checkpointer()
+        ckptr.wait_until_finished()  # at most one save in flight
         path = self.output_dir / "checkpoints" / f"step_{step:08d}"
-        with ocp.PyTreeCheckpointer() as ckptr:
-            ckptr.save(path.absolute(), jax.device_get(self.state),
-                       force=True)
+        ckptr.save(path.absolute(), jax.device_get(self.state), force=True)
         with open(self.output_dir / "checkpoints" / "last.json", "w") as f:
             json.dump({"step": step, "path": str(path)}, f)
-        log.info("saved checkpoint %s", path)
+        log.info("saving checkpoint %s (async)", path)
 
     def restore(self, path: str):
         import orbax.checkpoint as ocp
 
+        self._wait_for_saves()
         p = Path(path)
         if p.is_dir() and (p / "last.json").exists():
             with open(p / "last.json") as f:
