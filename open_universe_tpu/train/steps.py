@@ -45,9 +45,26 @@ def init_train_state(model: Universe, params, tx, clipper=None,
     return state
 
 
+def _guard_non_finite(ok, new_state, old_state, metrics):
+    """Failure containment (training.nan_guard): when ``ok`` is False the
+    whole update is dropped — parameters, optimizer, EMA and clip state roll
+    back to ``old_state`` (step still advances so schedules/logging move on)
+    and ``train/update_skipped`` is set.  The reference's equivalent is
+    ``torch.autograd.set_detect_anomaly`` + breakpoints (train.py:56,
+    universe_gan.py:347-352); a production TPU run can't drop into a
+    debugger, so a skipped step is the recoverable analog."""
+    rolled = jax.tree_util.tree_map(
+        lambda n, o: jnp.where(ok, n, o), dict(new_state, step=old_state["step"]),
+        old_state)
+    rolled["step"] = new_state["step"]
+    metrics["train/update_skipped"] = 1.0 - ok.astype(jnp.float32)
+    return rolled, metrics
+
+
 def make_train_step(model: Universe, tx, clipper=None):
     """Score-matching training step (plain UNIVERSE, universe.py:544-586)."""
     ema_decay = model.train_kwargs.get("ema_decay", 0.0)
+    nan_guard = model.train_kwargs.get("nan_guard", False)
 
     def train_step(state, batch, key):
         params = state["params"]
@@ -76,6 +93,10 @@ def make_train_step(model: Universe, tx, clipper=None):
             new_state["clip"] = clip_state
         if ema_decay > 0.0:
             new_state["ema"] = ema_update(state["ema"], params, ema_decay)
+        if nan_guard:
+            ok = jnp.isfinite(loss) & jnp.isfinite(metrics["grad/norm"])
+            new_state, metrics = _guard_non_finite(ok, new_state, state,
+                                                   metrics)
         return new_state, metrics
 
     return train_step
@@ -85,6 +106,7 @@ def make_gan_train_step(model: UniverseGAN, tx_gen, tx_disc,
                         grad_clip_vals: Optional[dict] = None):
     """UNIVERSE++ adversarial step (two optimizers, reference ordering)."""
     ema_decay = model.train_kwargs.get("ema_decay", 0.0)
+    nan_guard = model.train_kwargs.get("nan_guard", False)
     gen_keys = list(model.model_param_keys())
     disc_keys = list(model.disc_param_keys())
     freeze_step = model.disc_freeze_step
@@ -184,6 +206,12 @@ def make_gan_train_step(model: UniverseGAN, tx_gen, tx_disc,
         metrics = {**d_metrics, **g_metrics,
                    "grad/score": gnorm_score, "grad/cond": gnorm_cond,
                    "grad/mpd": gnorm_mpd, "grad/mrd": gnorm_mrd}
+        if nan_guard:
+            ok = (jnp.isfinite(l_disc) & jnp.isfinite(l_gen)
+                  & jnp.isfinite(gnorm_score) & jnp.isfinite(gnorm_cond)
+                  & jnp.isfinite(gnorm_mpd) & jnp.isfinite(gnorm_mrd))
+            new_state, metrics = _guard_non_finite(ok, new_state, state,
+                                                   metrics)
         return new_state, metrics
 
     return train_step

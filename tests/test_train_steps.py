@@ -217,3 +217,34 @@ def test_bf16_training_matches_f32_loosely(gan):
         assert np.isfinite(vals[cd])
     # bf16 nets track the f32 result loosely (random init, small magnitudes)
     assert abs(vals["bf16"] - vals[None]) <= 0.1 * (abs(vals[None]) + 1.0)
+
+
+def test_nan_guard_rolls_back_update():
+    """training.nan_guard=True: a batch that produces a non-finite loss must
+    leave parameters/optimizer untouched and raise train/update_skipped."""
+    score, cond = _nets()
+    model = Universe(fs=FS, score_model=score, condition_model=cond,
+                     losses={"weights": {"score": 1.0}},
+                     training={"audio_len": T / FS, "ema_decay": 0.999,
+                               "time_sampling": "time_uniform",
+                               "nan_guard": True},
+                     normalization_kwargs={"ref": "both", "level_db": -26.0})
+    params = model.init(jax.random.key(0))
+    tx = adamw(1e-3, params=params)
+    state = init_train_state(model, params, tx)
+    step = jax.jit(make_train_step(model, tx))
+
+    good = _batch(jax.random.key(1), b=2)
+    state1, m1 = step(state, good, jax.random.key(2))
+    assert float(m1["train/update_skipped"]) == 0.0
+    leaf0 = np.asarray(state1["params"]["score_model"]["input_conv"]["weight"])
+
+    bad = {k: v.at[0, 0, 0].set(jnp.nan) for k, v in good.items()}
+    state2, m2 = step(state1, bad, jax.random.key(3))
+    assert float(m2["train/update_skipped"]) == 1.0
+    leaf2 = np.asarray(state2["params"]["score_model"]["input_conv"]["weight"])
+    np.testing.assert_array_equal(leaf0, leaf2)
+    assert int(state2["step"]) == int(state1["step"]) + 1
+    # a following good batch trains normally again
+    state3, m3 = step(state2, good, jax.random.key(4))
+    assert float(m3["train/update_skipped"]) == 0.0
