@@ -37,6 +37,20 @@ def main(argv=None):
     import numpy as np
     import jax
 
+    # multi-host pods: initialize the distributed runtime before any backend
+    # use.  On Cloud TPU pods jax.distributed.initialize() autodetects the
+    # coordinator from the TPU metadata; elsewhere the standard env vars
+    # (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID) are
+    # honored.  This replaces the reference's Lightning DDP spawn + rank env
+    # plumbing (reference utils/ddp.py).
+    import os
+
+    if (cfg.get("multihost") or os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("COORDINATOR_ADDRESS")):
+        jax.distributed.initialize()
+        log.info("distributed: process %d / %d", jax.process_index(),
+                 jax.process_count())
+
     seed = cfg.get("seed", 0)
     np.random.seed(seed)
     import random as _random
