@@ -522,21 +522,71 @@ class Universe(Module):
             n_loop = n_steps - 1 - n_start
             step_keys = jax.random.split(k_loop, 2 * n_loop + 1)
 
-            def body(x, inp):
-                s_now, s_next, k_score, k_z = inp
-                s_now_b = jnp.broadcast_to(s_now, (bsz,))
-                score = score_fn(x, s_now_b, cond, k_score)
-                z = jax.random.normal(k_z, x.shape, x.dtype) * s_next
-                x = x + s_now**2 * eta * score + beta * z
-                return x, None
+            # EDM fast path: fold the network wrapper into the sampler
+            # update.  With speech_est = w_skip*x + w_out*net_out and
+            # score = (speech_est - x)/sigma^2, the step
+            #     x <- x + sigma^2*eta*score + beta*z
+            # is algebraically
+            #     x <- (1 - eta + eta*w_skip)*x + eta*w_out*net_out + beta*z
+            # which needs only TWO layout-crossing (B,T,1) elementwise ops
+            # per step (the bf16 net input and the f32 update reading the
+            # bf16 net output) instead of the ~5 the generic score()
+            # wrapper materializes (bf16 speech_est/score intermediates in
+            # XLA's batch-minor conv layout run at ~1/16 sublane
+            # utilization; ~2% end-to-end on v5e at batch 128).
+            edm_fast = self.with_edm and target_t is None
 
-            xs = (sigma[n_start : n_steps - 1], sigma[n_start + 1 : n_steps],
-                  step_keys[:n_loop], step_keys[n_loop : 2 * n_loop])
-            x, _ = jax.lax.scan(body, x, xs)
+            if edm_fast:
+                w = self._edm_weights(sigma)  # vectors over the schedule
 
-            s_last = jnp.broadcast_to(sigma[-1], (bsz,))
-            score = score_fn(x, s_last, cond, step_keys[-1])
-            x = x + sigma[-1] ** 2 * score
+                def body(x, inp):
+                    s_next, w_in, w_out, w_skip, k_z, noise_s = inp
+                    net_in = (w_in * x).astype(net_dtype)
+                    net_out = self.score_model(
+                        params["score_model"], net_in,
+                        jnp.broadcast_to(noise_s, (bsz,)).astype(net_dtype),
+                        cond, packed=packed)
+                    cx = 1.0 - eta + eta * w_skip
+                    cn = eta * w_out
+                    z = jax.random.normal(k_z, x.shape, x.dtype)
+                    x = cx * x + cn * net_out.astype(jnp.float32) \
+                        + (beta * s_next) * z
+                    return x, None
+
+                noise_sig = w["noise"] * sigma  # net's sigma input per step
+                xs = (sigma[n_start + 1 : n_steps],
+                      w["in"][n_start : n_steps - 1],
+                      w["out"][n_start : n_steps - 1],
+                      w["skip"][n_start : n_steps - 1],
+                      step_keys[n_loop : 2 * n_loop],
+                      noise_sig[n_start : n_steps - 1])
+                x, _ = jax.lax.scan(body, x, xs)
+
+                # final denoise: x + sigma^2*score == speech_est
+                net_in = (w["in"][-1] * x).astype(net_dtype)
+                net_out = self.score_model(
+                    params["score_model"], net_in,
+                    jnp.broadcast_to(noise_sig[-1], (bsz,)).astype(net_dtype),
+                    cond, packed=packed)
+                x = w["skip"][-1] * x + w["out"][-1] * net_out.astype(
+                    jnp.float32)
+            else:
+                def body(x, inp):
+                    s_now, s_next, k_score, k_z = inp
+                    s_now_b = jnp.broadcast_to(s_now, (bsz,))
+                    score = score_fn(x, s_now_b, cond, k_score)
+                    z = jax.random.normal(k_z, x.shape, x.dtype) * s_next
+                    x = x + s_now**2 * eta * score + beta * z
+                    return x, None
+
+                xs = (sigma[n_start : n_steps - 1],
+                      sigma[n_start + 1 : n_steps],
+                      step_keys[:n_loop], step_keys[n_loop : 2 * n_loop])
+                x, _ = jax.lax.scan(body, x, xs)
+
+                s_last = jnp.broadcast_to(sigma[-1], (bsz,))
+                score = score_fn(x, s_last, cond, step_keys[-1])
+                x = x + sigma[-1] ** 2 * score
 
         x = self.transform(tp, x, inv=True)
         x = self.unpad(x, pad)
