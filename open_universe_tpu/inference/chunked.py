@@ -12,10 +12,13 @@ module is the TPU-native serving path the reference lacks:
     weight normalization, so seams are inaudible while each chunk still sees
     ``overlap``/2 seconds of context on both sides.
 
-The conditioner/GRU context is per-chunk, so results differ slightly from
-whole-utterance enhancement near chunk boundaries; with the default 10 s
-chunks and 25% overlap the difference is far below the diffusion sampler's
-own noise floor.
+The conditioner/GRU context and the loudness normalization are per-chunk;
+``keep_rms`` defaults to True here so every chunk is rescaled back to its
+input RMS and the output follows the recording's own level contour (without
+it, enhance() returns each chunk at the normalized target level and a quiet
+chunk's noise floor would be blown up).  With the default 10 s chunks and
+25% overlap the remaining boundary differences are far below the diffusion
+sampler's own noise floor.
 """
 from __future__ import annotations
 
@@ -57,6 +60,15 @@ def make_chunked_enhancer(
         raise ValueError("overlap must be < 1")
     hop = chunk - ov
 
+    # enhance() loudness-normalizes each batch row independently and returns
+    # output at the normalized level; blended chunks would therefore carry
+    # per-chunk gains (a near-silent chunk gets its noise floor blown up to
+    # the target level).  keep_rms=True rescales every chunk back to its
+    # input RMS, so the output follows the recording's own level contour and
+    # chunks blend seamlessly.  Callers can still override it explicitly.
+    enhance_kwargs = dict(enhance_kwargs)
+    enhance_kwargs.setdefault("keep_rms", True)
+
     @jax.jit
     def _enhance(params, mix, key):
         return model.enhance(params, mix, key=key, **enhance_kwargs)
@@ -72,22 +84,9 @@ def make_chunked_enhancer(
             x = x[None]
         b, t = x.shape
 
-        if t <= chunk:
-            pad = chunk - t
-            xp = np.pad(x, ((0, 0), (0, pad)))
-            pieces = []
-            for i in range(0, b, max_batch):
-                blk = xp[i : i + max_batch]
-                bpad = max_batch - blk.shape[0]
-                if bpad:
-                    blk = np.pad(blk, ((0, bpad), (0, 0)))
-                key, sub = jax.random.split(key)
-                out = np.asarray(_enhance(params, jnp.asarray(blk), sub))
-                pieces.append(out[: blk.shape[0] - bpad])
-            out = np.concatenate(pieces, axis=0)[:, :t]
-            return out[0] if single else out
-
-        n_chunks = max(1, math.ceil((t - ov) / hop))
+        # the general overlap-add path also covers t <= chunk (n_chunks=1,
+        # and out*w/w == out exactly)
+        n_chunks = max(1, math.ceil(max(t - ov, 1) / hop))
         t_pad = (n_chunks - 1) * hop + chunk
         xp = np.pad(x, ((0, 0), (0, t_pad - t)))
         starts = np.arange(n_chunks) * hop

@@ -160,19 +160,25 @@ def _fft_gain_filter(x, fs, table_db):
     return np.fft.irfft(spec * gain, nfft)[:n]
 
 
-def _fix_power_level(x, fs):
-    """Scale so the 350-3250 Hz band has average power TARGET_AVG_POWER.
-
-    Degenerate (non-speech) inputs with almost no energy in the alignment
-    band — e.g. a pure tone below 350 Hz, whose only in-band content is
-    spectral-leakage skirts — would otherwise be blown up by a huge scale
-    factor (and ref/deg scaled inconsistently); fall back to full-band power
-    when the band holds less than 1% of the total.  Speech is far above
-    this (typically 30-80% in-band after the bandpass)."""
+def _band_fraction(x, fs):
+    """(band power, total power) for the 350-3250 Hz alignment band."""
     band = _fft_gain_filter(x, fs, _ALIGN_FILTER_DB)
-    p = float(np.mean(band ** 2))
-    p_tot = float(np.mean(np.asarray(x) ** 2))
-    if p <= 1e-2 * p_tot:
+    return float(np.mean(band ** 2)), float(np.mean(np.asarray(x) ** 2))
+
+
+def _fix_power_level(x, fs, use_band: bool = True):
+    """Scale so the alignment band (or, with use_band=False, the full band)
+    has average power TARGET_AVG_POWER.
+
+    Degenerate (non-speech) inputs with almost no energy in the 350-3250 Hz
+    band — e.g. a pure tone below 350 Hz, whose only in-band content is
+    spectral-leakage skirts — would be blown up by a huge scale factor.
+    ``pesq_raw`` decides use_band ONCE for the (ref, deg) pair (both signals
+    must be aligned by the same rule, or their relative level is skewed) and
+    passes it here."""
+    p_band, p_tot = _band_fraction(x, fs)
+    p = p_band if use_band else p_tot
+    if p <= 0:
         p = p_tot
     if p <= 0:
         return x
@@ -347,8 +353,14 @@ def pesq_raw(fs: int, ref, deg, mode: str = "wb") -> float:
     if min(len(ref), len(deg)) < fs // 4:
         raise ValueError("signals too short for PESQ (< 0.25 s)")
 
-    ref = _fix_power_level(ref, fs)
-    deg = _fix_power_level(deg, fs)
+    # one joint rule for the pair: band-power alignment only when BOTH
+    # signals have real energy in the alignment band (speech always does;
+    # the guard targets degenerate tones/noise outside 350-3250 Hz)
+    pb_r, pt_r = _band_fraction(ref, fs)
+    pb_d, pt_d = _band_fraction(deg, fs)
+    use_band = (pb_r > 1e-2 * pt_r) and (pb_d > 1e-2 * pt_d)
+    ref = _fix_power_level(ref, fs, use_band)
+    deg = _fix_power_level(deg, fs, use_band)
 
     if mode == "wb":
         ref = lfilter(_WB_IIR_B, _WB_IIR_A, ref)

@@ -415,12 +415,9 @@ class Universe(Module):
         compute_dtype: Optional[Any] = None,
     ) -> jax.Array:
         if compute_dtype is not None:
-            nets = {k: jax.tree_util.tree_map(
-                        lambda a: a.astype(compute_dtype)
-                        if jnp.issubdtype(a.dtype, jnp.floating) else a,
-                        params[k])
-                    for k in self.model_param_keys() if k in params}
-            params = {**params, **nets}
+            params = {**params,
+                      **{k: self._cast_tree(params[k], compute_dtype)
+                         for k in self.model_param_keys() if k in params}}
         net_dtype = compute_dtype or jnp.float32
         if key is None:
             key = jax.random.key(0)
@@ -534,7 +531,10 @@ class Universe(Module):
             # wrapper materializes (bf16 speech_est/score intermediates in
             # XLA's batch-minor conv layout run at ~1/16 sublane
             # utilization; ~2% end-to-end on v5e at batch 128).
-            edm_fast = self.with_edm and target_t is None
+            # _disable_edm_fast exists for the equivalence test (and as an
+            # escape hatch): both branches must produce the same samples.
+            edm_fast = (self.with_edm and target_t is None
+                        and not getattr(self, "_disable_edm_fast", False))
 
             if edm_fast:
                 w = self._edm_weights(sigma)  # vectors over the schedule

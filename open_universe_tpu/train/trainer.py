@@ -356,16 +356,29 @@ class Trainer:
     def _wait_for_saves(self):
         if getattr(self, "_async_ckptr", None) is not None:
             self._async_ckptr.wait_until_finished()
+            self._commit_last_json()
+
+    def _commit_last_json(self):
+        """Point last.json at the newest FINALIZED checkpoint.  Written only
+        after wait_until_finished(), so a crash during an in-flight async
+        write can never leave last.json referencing a partial checkpoint —
+        resume falls back to the previous finalized step instead."""
+        pending = getattr(self, "_pending_last", None)
+        if pending is not None and jax.process_index() == 0:
+            with open(self.output_dir / "checkpoints" / "last.json", "w") as f:
+                json.dump({"step": pending[0], "path": str(pending[1])}, f)
+            self._pending_last = None
 
     def save(self, step: int, last: bool = False):
-        if jax.process_count() > 1 and jax.process_index() != 0:
-            return  # single-controller write; orbax multihost handled upstream
+        # NOTE: in multi-host runs EVERY process must enter the orbax save
+        # (its commit/finalize path synchronizes across processes); only the
+        # last.json metadata write is rank-0 gated.
         ckptr = self._checkpointer()
         ckptr.wait_until_finished()  # at most one save in flight
+        self._commit_last_json()
         path = self.output_dir / "checkpoints" / f"step_{step:08d}"
         ckptr.save(path.absolute(), jax.device_get(self.state), force=True)
-        with open(self.output_dir / "checkpoints" / "last.json", "w") as f:
-            json.dump({"step": step, "path": str(path)}, f)
+        self._pending_last = (step, path)
         log.info("saving checkpoint %s (async)", path)
 
     def restore(self, path: str):

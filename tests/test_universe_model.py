@@ -169,3 +169,26 @@ def test_enhance_bf16_compute_dtype():
     assert o16.dtype == jnp.float32
     err = float(jnp.linalg.norm(o32 - o16) / jnp.linalg.norm(o32))
     assert err < 0.1, err
+
+
+def test_edm_fast_path_matches_generic_wrapper():
+    """The algebraically-folded EDM sampler loop must reproduce the generic
+    score()-wrapper loop sample-for-sample (same keys, same schedule)."""
+    model = _make_universe(edm={"noise": 0.25}, weights={"score": 1.0})
+    params = model.init(jax.random.key(0))
+    mix = jax.random.normal(jax.random.key(1), (2, T)) * 0.05
+    for kw in ({}, {"n_steps": 6}, {"compute_dtype": jnp.bfloat16}):
+        key = jax.random.key(7)
+        kw = {"n_steps": 4, **kw}
+        fast = np.asarray(model.enhance(params, mix, key=key, **kw))
+        model._disable_edm_fast = True
+        try:
+            ref = np.asarray(model.enhance(params, mix, key=key, **kw))
+        finally:
+            model._disable_edm_fast = False
+        # bf16: the fast path does the EDM scalar algebra in f32 (the
+        # generic wrapper computes speech_est/score in bf16), so the two
+        # legitimately differ at bf16 resolution amplified over the steps
+        tol = 0.15 if kw.get("compute_dtype") is not None else 2e-5
+        err = np.abs(fast - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert err < tol, (kw, err)

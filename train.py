@@ -38,16 +38,24 @@ def main(argv=None):
     import jax
 
     # multi-host pods: initialize the distributed runtime before any backend
-    # use.  On Cloud TPU pods jax.distributed.initialize() autodetects the
-    # coordinator from the TPU metadata; elsewhere the standard env vars
-    # (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID) are
-    # honored.  This replaces the reference's Lightning DDP spawn + rank env
-    # plumbing (reference utils/ddp.py).
-    import os
-
-    if (cfg.get("multihost") or os.environ.get("JAX_COORDINATOR_ADDRESS")
-            or os.environ.get("COORDINATOR_ADDRESS")):
-        jax.distributed.initialize()
+    # use.  With bare `multihost: true`, jax.distributed.initialize()
+    # autodetects the cluster (Cloud TPU metadata / Slurm / GKE).  For a
+    # hand-rolled cluster pass the connection explicitly:
+    #   multihost:
+    #     coordinator_address: host0:1234
+    #     num_processes: 2
+    #     process_id: 0        # (or leave to per-host overrides)
+    # This replaces the reference's Lightning DDP spawn + rank env plumbing
+    # (reference utils/ddp.py).
+    mh = cfg.get("multihost")
+    if mh:
+        if isinstance(mh, dict):
+            jax.distributed.initialize(
+                coordinator_address=mh.get("coordinator_address"),
+                num_processes=mh.get("num_processes"),
+                process_id=mh.get("process_id"))
+        else:
+            jax.distributed.initialize()
         log.info("distributed: process %d / %d", jax.process_index(),
                  jax.process_count())
 
