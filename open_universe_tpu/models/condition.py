@@ -281,8 +281,18 @@ class ConditionerNetwork(Module):
         for r in self.rate_factors:
             if t_level % pack_factor(c) != 0 or t_level % r != 0:
                 return False
+            # rate-change pack compatibility (see ScoreNetwork)
+            if (r * pack_factor(c * 2)) % pack_factor(c) != 0:
+                return False
             t_level //= r
             c *= 2
+        # shortcut convs: stride is the cumulative remaining downsampling
+        st_rates = _st_conv_rates(self.rate_factors)
+        oc = self.n_channels * 2 ** len(self.rate_factors)
+        for i in range(len(self.rate_factors) - 1):
+            ci = self.n_channels * 2 ** i
+            if (st_rates[i] * pack_factor(oc)) % pack_factor(ci) != 0:
+                return False
         for st in self.encoder.st_convs:
             if st is not None and not isinstance(st, PReLUConv):
                 return False

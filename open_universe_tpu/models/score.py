@@ -207,6 +207,11 @@ class ScoreNetwork(Module):
         for r in self.rate_factors:
             if t_level % pack_factor(c) != 0 or t_level % r != 0:
                 return False
+            # rate-change convs require stride*pack(out) % pack(in) == 0
+            # (ops/packed.py _down/_up_selection); always true for the
+            # published channel ladders, not for arbitrary tiny configs
+            if (r * pack_factor(c * 2)) % pack_factor(c) != 0:
+                return False
             t_level //= r
             c *= 2
         for blocks in (self.encoder.ds_modules, self.decoder.up_modules):

@@ -378,6 +378,7 @@ class Universe(Module):
         ensemble_stat: str = "median",
         warm_start: Optional[int] = None,
         compute_dtype: Optional[Any] = None,
+        packed: Optional[bool] = None,
     ) -> jax.Array:
         """Iterative score-based enhancement (reference universe.py:231-375).
 
@@ -387,6 +388,11 @@ class Universe(Module):
         compute_dtype: run the score/conditioner networks in this dtype
         (e.g. jnp.bfloat16 for ~1.4x throughput on TPU) while sampler state,
         normalization, and the STFT front-end stay float32.
+
+        packed: lane-packed (time-packed) execution of the conv U-Nets
+        (ops/packed.py; numerically exact).  None = auto: enabled at small
+        batch where it measures up to 2.7x faster on v5e (see
+        _enhance_impl); True/False force it (also OPEN_UNIVERSE_PACKED=1/0).
         """
         from ..ops import pallas as _pallas_config
 
@@ -396,7 +402,8 @@ class Universe(Module):
                 target=target, fake_score_snr=fake_score_snr,
                 use_aux_signal=use_aux_signal, keep_rms=keep_rms,
                 ensemble=ensemble, ensemble_stat=ensemble_stat,
-                warm_start=warm_start, compute_dtype=compute_dtype)
+                warm_start=warm_start, compute_dtype=compute_dtype,
+                packed=packed)
 
     def _enhance_impl(
         self,
@@ -413,6 +420,7 @@ class Universe(Module):
         ensemble_stat: str = "median",
         warm_start: Optional[int] = None,
         compute_dtype: Optional[Any] = None,
+        packed: Optional[bool] = None,
     ) -> jax.Array:
         if compute_dtype is not None:
             params = {**params,
@@ -461,16 +469,25 @@ class Universe(Module):
         score_snr = 5.0 if fake_score_snr is None else fake_score_snr
 
         # Lane-packed (time-packed) execution of the conv U-Nets
-        # (ops/packed.py) is implemented and numerically exact, but measured
-        # a net LOSS on v5e at B=128: XLA already lane-packs by BATCH
-        # (layout {0,2,1}) and fuses activation/FiLM epilogues into its conv
-        # fusions at ~630 GB/s, so forcing time-packed layouts only adds
-        # boundary relayouts.  Off by default; kept for small-batch serving
-        # experiments (where batch-lanes packing starves) via
-        # OPEN_UNIVERSE_PACKED=1.
+        # (ops/packed.py; numerically exact, tested).  Measured on v5e,
+        # 2 s/16 kHz clips, bf16, throughput in audio-s/s/chip:
+        #     batch      1     4     8     16    32    64    128
+        #     default   182   198   ~400   601   513   764   1186
+        #     packed    207   535   1089  1187  1197  1150   674
+        # At batch < 128 XLA's batch-in-lanes conv layout starves (only B of
+        # 128 lanes filled) and packed wins up to 2.7x — single-clip latency
+        # drops from 11.0 to 9.7 ms; at B=128 the extra boundary relayouts
+        # make it a net loss.  Auto policy: enable when eligible and the
+        # (ensemble-expanded) batch is <= 64.  Explicit `packed=` or
+        # OPEN_UNIVERSE_PACKED=1/0 overrides.
         import os
 
-        packed = (os.environ.get("OPEN_UNIVERSE_PACKED") == "1"
+        env = os.environ.get("OPEN_UNIVERSE_PACKED")
+        if env in ("0", "1"):
+            packed = env == "1"
+        elif packed is None:
+            packed = mix.shape[0] <= 64
+        packed = (packed
                   and self.score_model.packed_eligible(mix.shape[1])
                   and self.condition_model.packed_eligible(mix.shape[1])
                   and self.transform_is_identity())
