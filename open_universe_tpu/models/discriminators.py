@@ -125,7 +125,10 @@ class DiscriminatorR(Module):
         pad = int((n_fft - hop) / 2)
         xw = jnp.moveaxis(x, -1, 1).astype(jnp.float32)  # (B, C, T); f32 FFT
         xw = jnp.pad(xw, ((0, 0), (0, 0), (pad, pad)), mode="reflect")
-        z = _stft(xw, n_fft, hop, win_length=win, center=False)
+        # the reference passes no window to torch.stft (gan.py:239-246), i.e.
+        # a RECTANGULAR window of win_length zero-padded to n_fft — not hann
+        z = _stft(xw, n_fft, hop, win_length=win, center=False,
+                  window=jnp.ones((win,), jnp.float32))
         mag = jnp.abs(z).astype(x.dtype)  # (B, C, frames, freq)
         return jnp.transpose(mag, (0, 3, 2, 1))  # (B, freq, frames, C)
 

@@ -212,8 +212,17 @@ def istft(
         jnp.broadcast_to((window * window)[None, :], (n_frames, n_fft)).reshape(-1)
     )
     out = out / jnp.maximum(wsq, 1e-11)[None, :]
+    # torch.istft semantics: with center=True the left n_fft//2 pad is always
+    # removed; the right edge is cut by `length` when given (serving samples
+    # from the raw overlap-add tail past the symmetric trim point), else by
+    # the symmetric n_fft//2 trim.  Zero-pad if length exceeds the buffer.
     if center:
-        out = out[:, n_fft // 2 : t_full - n_fft // 2]
+        out = out[:, n_fft // 2 :]
     if length is not None:
-        out = out[:, :length]
+        if out.shape[-1] >= length:
+            out = out[:, :length]
+        else:
+            out = jnp.pad(out, ((0, 0), (0, length - out.shape[-1])))
+    elif center:
+        out = out[:, : t_full - 2 * (n_fft // 2)]
     return out.reshape(lead + (out.shape[-1],))

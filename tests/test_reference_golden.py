@@ -1,0 +1,325 @@
+"""Full-network golden parity against the ACTUAL reference torch code.
+
+These tests import the reference implementation from /root/reference (via
+tests/ref_loader.py + tests/ref_shims/), build the real UNIVERSE/UNIVERSE++
+models from the real reference YAML configs, convert their randomly
+initialized state dicts through ``inference/torch_convert.py``, and assert
+forward parity of the assembled networks and the full ``enhance()`` sampler.
+
+This is the proof that checkpoint ingestion is composition-exact: any drift
+in skip ordering, FiLM placement, st_conv summation, MelAdapter frame
+alignment, ConvTranspose length trim, EMA shadow ordering, or sampler
+coefficients fails here.  (Reference anchors: score.py:277-297,
+condition.py:346-377, universe.py:231-375, gan.py:103-284.)
+"""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from ref_loader import load_reference, reference_model_config
+
+import open_universe_tpu.models.universe as myuni
+from open_universe_tpu.configs.registry import instantiate as my_instantiate
+from open_universe_tpu.inference.model_loader import jax_tree_asarray
+from open_universe_tpu.inference.torch_convert import (
+    apply_ema_shadow,
+    convert_state_dict,
+    fold_weight_norm,
+)
+
+B, T = 2, 8000  # 0.5 s @16 kHz; multiple of tot_ds=160
+
+
+class Pair:
+    """A reference torch model and the converted JAX model + params."""
+
+    def __init__(self, config_name, seed):
+        self.ref = load_reference()
+        from hydra.utils import instantiate as ref_instantiate
+        from omegaconf import OmegaConf
+
+        self.cfg = reference_model_config(config_name)
+        torch.manual_seed(seed)
+        self.tm = ref_instantiate(OmegaConf.create(self.cfg), _recursive_=False)
+        self.tm.eval()
+        self.sd = self.tm.state_dict()
+        self.mm = my_instantiate(self.cfg)
+        params, skipped = convert_state_dict(self.mm, self.sd)
+        # every skipped key must be a recomputed buffer, not a real weight
+        from open_universe_tpu.inference.torch_convert import is_skipped_buffer
+
+        not_buffers = [k for k in skipped if not is_skipped_buffer(k)]
+        assert not not_buffers, f"unconverted non-buffer keys: {not_buffers}"
+        self.params = jax_tree_asarray(params)
+
+
+@pytest.fixture(scope="module")
+def gan():
+    return Pair("default", seed=3)
+
+
+@pytest.fixture(scope="module")
+def orig():
+    return Pair("universe_original", seed=4)
+
+
+@pytest.fixture(scope="module")
+def noisy():
+    rng = np.random.default_rng(0)
+    return (rng.standard_normal((B, T)) * 0.3).astype(np.float32)
+
+
+def _t(x):  # numpy (B,T) -> torch (B,1,T)
+    return torch.from_numpy(x)[:, None, :]
+
+
+def _j(x):  # numpy (B,T) -> jax (B,T,1)
+    return jnp.asarray(x)[:, :, None]
+
+
+def _nchw(x):  # jax channels-last -> numpy channels-first
+    return np.asarray(x).transpose(0, 2, 1)
+
+
+# ---------------------------------------------------------------------------
+# assembled networks
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("which", ["gan", "orig"])
+def test_conditioner_parity(which, gan, orig, noisy):
+    pair = gan if which == "gan" else orig
+    with torch.no_grad():
+        cond_r, y_r, h_r = pair.tm.condition_model(
+            _t(noisy), x_wav=_t(noisy), train=True)
+    cond_m, y_m, h_m = pair.mm.condition_model(
+        pair.params["condition_model"], _j(noisy), x_wav=_j(noisy), train=True)
+    assert len(cond_r) == len(cond_m)
+    for cr, cm in zip(cond_r, cond_m):
+        np.testing.assert_allclose(cr.numpy(), _nchw(cm), atol=1e-5)
+    np.testing.assert_allclose(y_r.numpy(), _nchw(y_m), atol=1e-5)
+    np.testing.assert_allclose(h_r.numpy(), _nchw(h_m), atol=1e-5)
+
+
+@pytest.mark.parametrize("which", ["gan", "orig"])
+def test_score_network_parity(which, gan, orig, noisy):
+    """EDM-wrapped score for the GAN model, raw score net for the original."""
+    pair = gan if which == "gan" else orig
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal((B, T)) * 0.5).astype(np.float32)
+    sigma = np.array([0.8, 0.02], np.float32)
+    with torch.no_grad():
+        cond_r, *_ = pair.tm.condition_model(_t(noisy), x_wav=_t(noisy),
+                                             train=True)
+        s_r = pair.tm.score_model(_t(x), torch.from_numpy(sigma), cond_r)
+    cond_m, *_ = pair.mm.condition_model(
+        pair.params["condition_model"], _j(noisy), x_wav=_j(noisy), train=True)
+    s_m = pair.mm.score(pair.params, _j(x), jnp.asarray(sigma), cond_m)
+    sr = s_r.numpy()
+    # score values scale as 1/sigma^2 -> compare with a relative tolerance
+    tol = 1e-6 * np.abs(sr).max()
+    np.testing.assert_allclose(sr, _nchw(s_m), atol=max(tol, 1e-5))
+
+
+def test_mpd_parity(gan, noisy):
+    rng = np.random.default_rng(2)
+    fake = (rng.standard_normal((B, T)) * 0.3).astype(np.float32)
+    with torch.no_grad():
+        rs_r, gs_r, fr_r, fg_r = gan.tm.loss_mpd(_t(noisy), _t(fake))
+    rs_m, gs_m, fr_m, fg_m = gan.mm.loss_mpd.apply(
+        gan.params["loss_mpd"], _j(noisy), _j(fake))
+    for a, b in zip(rs_r + gs_r, rs_m + gs_m):
+        np.testing.assert_allclose(a.numpy(), np.asarray(b), atol=2e-4)
+    # feature maps compared through the (layout-independent) fm loss
+    from open_universe_tpu.models.discriminators import feature_loss
+
+    fm_r = gan.ref.bigvgan.feature_loss(fr_r, fg_r)
+    fm_m = feature_loss(fr_m, fg_m)
+    np.testing.assert_allclose(float(fm_r), float(fm_m), rtol=1e-4)
+
+
+def test_mrd_parity(gan, noisy):
+    rng = np.random.default_rng(5)
+    fake = (rng.standard_normal((B, T)) * 0.3).astype(np.float32)
+    with torch.no_grad():
+        rs_r, gs_r, fr_r, fg_r = gan.tm.loss_mrd(_t(noisy), _t(fake))
+    rs_m, gs_m, fr_m, fg_m = gan.mm.loss_mrd.apply(
+        gan.params["loss_mrd"], _j(noisy), _j(fake))
+    for a, b in zip(rs_r + gs_r, rs_m + gs_m):
+        np.testing.assert_allclose(a.numpy(), np.asarray(b), atol=2e-4)
+    from open_universe_tpu.models.discriminators import (
+        discriminator_loss,
+        feature_loss,
+        generator_loss,
+    )
+
+    np.testing.assert_allclose(
+        float(gan.ref.bigvgan.feature_loss(fr_r, fg_r)),
+        float(feature_loss(fr_m, fg_m)), rtol=1e-4)
+    np.testing.assert_allclose(
+        float(gan.ref.bigvgan.discriminator_loss(rs_r, gs_r)[0]),
+        float(discriminator_loss(rs_m, gs_m)[0]), rtol=1e-4)
+    np.testing.assert_allclose(
+        float(gan.ref.bigvgan.generator_loss(gs_r)[0]),
+        float(generator_loss(gs_m)[0]), rtol=1e-4)
+
+
+def test_mdn_loss_parity(orig):
+    """MDN NLL on the pinned (C, fs*audio_len) shape (ref mdn.py:59-125)."""
+    fs = orig.cfg["fs"]
+    t_pin = int(fs * orig.cfg["training"]["audio_len"])
+    rng = np.random.default_rng(6)
+    est = rng.standard_normal((1, 32, t_pin)).astype(np.float32) * 0.3
+    tgt = rng.standard_normal((1, 1, t_pin)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        nll_r = orig.tm.loss_signal(torch.from_numpy(est),
+                                    torch.from_numpy(tgt))
+    nll_m = orig.mm.loss_signal.apply(
+        orig.params["loss_signal"],
+        jnp.asarray(est.transpose(0, 2, 1)), jnp.asarray(tgt.transpose(0, 2, 1)))
+    np.testing.assert_allclose(float(nll_r), float(nll_m), rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# full enhance() sampler
+# ---------------------------------------------------------------------------
+
+
+def _patched_noise(ref, z0):
+    """Patch both implementations' initial-noise helpers to the same array.
+
+    With epsilon=1.0 the in-loop noise coefficient beta is exactly 0
+    (universe.py:300-305), so matching the initial draw makes the full
+    sampler deterministic and comparable end to end.
+    """
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        orig_ref = ref.universe.randn
+        orig_my = myuni.randn_sigma
+
+        def ref_randn(x, sigma, rng=None):
+            assert tuple(x.shape) == z0.shape, (x.shape, z0.shape)
+            return torch.from_numpy(z0).to(x.dtype) * sigma[:, None, None]
+
+        def my_randn(key, shape, sigma, dtype=jnp.float32):
+            z = jnp.asarray(z0.transpose(0, 2, 1))
+            return (z * sigma[:, None, None]).astype(dtype)
+
+        ref.universe.randn = ref_randn
+        myuni.randn_sigma = my_randn
+        try:
+            yield
+        finally:
+            ref.universe.randn = orig_ref
+            myuni.randn_sigma = orig_my
+
+    return ctx()
+
+
+@pytest.mark.parametrize("which,packed", [("gan", False), ("gan", True),
+                                          ("orig", False)])
+def test_enhance_full_sampler_parity(which, packed, gan, orig, noisy):
+    pair = gan if which == "gan" else orig
+    z0 = (np.random.default_rng(7)
+          .standard_normal((B, 1, T + 160)).astype(np.float32))
+    with _patched_noise(pair.ref, z0):
+        with torch.no_grad():
+            out_r = pair.tm.enhance(torch.from_numpy(noisy), n_steps=4,
+                                    epsilon=1.0)
+        out_m = pair.mm.enhance(pair.params, jnp.asarray(noisy), n_steps=4,
+                                epsilon=1.0, packed=packed)
+    np.testing.assert_allclose(out_r.numpy(), np.asarray(out_m), atol=2e-5)
+
+
+def test_enhance_folded_weight_norm_parity(gan, noisy):
+    params = fold_weight_norm(gan.mm, jax_tree_asarray(
+        convert_state_dict(gan.mm, gan.sd)[0]))
+    z0 = (np.random.default_rng(8)
+          .standard_normal((B, 1, T + 160)).astype(np.float32))
+    with _patched_noise(gan.ref, z0):
+        with torch.no_grad():
+            out_r = gan.tm.enhance(torch.from_numpy(noisy), n_steps=3,
+                                   epsilon=1.0)
+        out_m = gan.mm.enhance(params, jnp.asarray(noisy), n_steps=3,
+                               epsilon=1.0, packed=False)
+    np.testing.assert_allclose(out_r.numpy(), np.asarray(out_m), atol=2e-5)
+
+
+def test_enhance_aux_signal_parity(gan, noisy):
+    """use_aux_signal path: conditioner + signal-decoupling Snake conv
+    (universe_gan.py:146-149, snake.py, alias_free_act.py) — deterministic,
+    no noise patching needed."""
+    with torch.no_grad():
+        out_r = gan.tm.enhance(torch.from_numpy(noisy), use_aux_signal=True)
+    out_m = gan.mm.enhance(gan.params, jnp.asarray(noisy),
+                           use_aux_signal=True, packed=False)
+    np.testing.assert_allclose(out_r.numpy(), np.asarray(out_m), atol=2e-5)
+
+
+def test_enhance_ema_ingestion_parity(gan, noisy):
+    """EMA shadow ordering: perturb params, update EMA, eval() on the torch
+    side (copies shadows in), apply_ema_shadow on ours — outputs must match
+    (ref universe.py:130-133,841-865; torch_convert.ordered_param_names)."""
+    torch.manual_seed(11)
+    with torch.no_grad():
+        for p in gan.tm.model_parameters():
+            p.add_(torch.randn_like(p) * 0.01)
+    gan.tm.ema.update(gan.tm.model_parameters())
+    gan.tm.ema.update(gan.tm.model_parameters())
+    sd = gan.tm.state_dict()
+    ema_sd = gan.tm.ema.state_dict()
+    gan.tm.eval()  # copies EMA shadows over the live params
+
+    params, _ = convert_state_dict(gan.mm, sd)
+    subs = list(gan.mm.model_param_keys())
+    if any(k.startswith("_edm_model.") for k in sd):
+        subs = ["_edm_model" if s == "score_model" else s for s in subs]
+    params = apply_ema_shadow(gan.mm, params, sd, ema_sd["shadow_params"],
+                              subs)
+    params = jax_tree_asarray(params)
+
+    z0 = (np.random.default_rng(9)
+          .standard_normal((B, 1, T + 160)).astype(np.float32))
+    with _patched_noise(gan.ref, z0):
+        with torch.no_grad():
+            out_r = gan.tm.enhance(torch.from_numpy(noisy), n_steps=3,
+                                   epsilon=1.0)
+        out_m = gan.mm.enhance(params, jnp.asarray(noisy), n_steps=3,
+                               epsilon=1.0, packed=False)
+    np.testing.assert_allclose(out_r.numpy(), np.asarray(out_m), atol=2e-5)
+
+    # restore the module-scoped fixture's weights for later tests
+    gan.tm.train()
+    sd2 = {k: torch.from_numpy(np.asarray(v)) if not torch.is_tensor(v) else v
+           for k, v in gan.sd.items()}
+    gan.tm.load_state_dict(sd2)
+    gan.tm.eval()
+
+
+# ---------------------------------------------------------------------------
+# transforms
+# ---------------------------------------------------------------------------
+
+
+def test_compressed_mag_stft_parity(gan, noisy):
+    ref = gan.ref
+    stft_kwargs = {"n_fft": 510, "hop_length": 128, "window_name": "hann"}
+    spec_kwargs = {"transform_type": "exponent", "abs_exponent": 0.5,
+                   "factor": 0.15}
+    tr_r = ref.dyn_range_comp.CompressedMagSTFT(dict(stft_kwargs),
+                                                dict(spec_kwargs))
+    from open_universe_tpu.models.transforms import CompressedMagSTFT
+
+    tr_m = CompressedMagSTFT(dict(stft_kwargs), dict(spec_kwargs))
+    with torch.no_grad():
+        spec_r = tr_r(_t(noisy))
+        back_r = tr_r(spec_r, inv=True, length=T)
+    spec_m = tr_m.apply({}, _j(noisy))
+    back_m = tr_m.apply({}, spec_m, inv=True, length=T)
+    np.testing.assert_allclose(spec_r.numpy(), _nchw(spec_m), atol=1e-5)
+    np.testing.assert_allclose(back_r.numpy(), _nchw(back_m), atol=1e-5)
