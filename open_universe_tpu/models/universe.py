@@ -299,8 +299,8 @@ class Universe(Module):
             target_aux = target
             target_aux_trans = tgt_trans
 
-        sigma, _ = self.sample_sigma(k_sigma, mix.shape[0], time_sampling,
-                                     t_min, t_max, pr_cum=pr_cum, bins=bins)
+        sigma, time = self.sample_sigma(k_sigma, mix.shape[0], time_sampling,
+                                        t_min, t_max, pr_cum=pr_cum, bins=bins)
         sigma_c = sigma.astype(tgt_trans.dtype)
 
         z = jax.random.normal(k_noise, tgt_trans.shape, tgt_trans.dtype)
@@ -345,21 +345,29 @@ class Universe(Module):
                                 weights.get("signal", 0.0) * l_signal)
         loss = loss + jnp.where(jnp.isnan(l_latent), 0.0,
                                 weights.get("latent", 0.0) * l_latent)
-        return loss, l_score, l_signal, l_latent
+        return loss, l_score, l_signal, l_latent, time
 
-    def training_losses(self, params: Params, key, mix, target):
-        """Normalization + loss; entry point for the jitted train step."""
+    def training_losses(self, params: Params, key, mix, target,
+                        pr_cum=None, bins=None):
+        """Normalization + loss; entry point for the jitted train step.
+
+        pr_cum/bins: traced arrays for 'adaptive' time sampling — the
+        cumulative validation-score histogram built by Trainer.validate
+        (reference universe.py:414-470,630-638).  Ignored in other modes.
+        """
         k_mix, k_loss = jax.random.split(key)
         if self.train_kwargs.get("dynamic_mixing", False):
             noise = mix - target
             perm = jax.random.permutation(k_mix, mix.shape[0])
             mix = target + noise[perm]
         (mix, target), *_ = self.normalize_batch((mix, target))
-        loss, l_score, l_signal, l_latent = self.compute_losses(
+        loss, l_score, l_signal, l_latent, t = self.compute_losses(
             params, k_loss, mix, target, train=True,
-            time_sampling=self.train_kwargs["time_sampling"])
+            time_sampling=self.train_kwargs["time_sampling"],
+            pr_cum=pr_cum, bins=bins)
         metrics = {"train/loss": loss, "train/score": l_score,
-                   "train/signal": l_signal, "train/latent": l_latent}
+                   "train/signal": l_signal, "train/latent": l_latent,
+                   "train/time_mean": jnp.mean(t.astype(jnp.float32))}
         return loss, metrics
 
     # ---------------------------------------------------------------- sampler

@@ -74,7 +74,7 @@ class UniverseGAN(Universe):
 
     # --------------------------------------------------------------- GAN parts
     def generator_forward(self, params: Params, key, mix, target,
-                          target_original):
+                          target_original, pr_cum=None, bins=None):
         """One forward pass of the generator nets.
 
         Inputs are already normalized.  Returns everything the GAN losses
@@ -94,8 +94,9 @@ class UniverseGAN(Universe):
         mix_t = self.transform(tp, mix)
         target_t = self.transform(tp, target)
 
-        sigma, _ = self.sample_sigma(
-            k_sigma, mix.shape[0], self.train_kwargs["time_sampling"], 0.0, 1.0)
+        sigma, time = self.sample_sigma(
+            k_sigma, mix.shape[0], self.train_kwargs["time_sampling"], 0.0, 1.0,
+            pr_cum=pr_cum, bins=bins)
         z = jax.random.normal(k_noise, target_t.shape, target_t.dtype)
         # keep sigma in the network compute dtype through x_t and the score
         # net: an f32 sigma would promote x_t -- and with it the whole score
@@ -131,6 +132,7 @@ class UniverseGAN(Universe):
             "z": z.astype(jnp.float32),
             "mel_y_est": mel_y_est.astype(jnp.float32),
             "mel_target": mel_target.astype(jnp.float32),
+            "time": time.astype(jnp.float32),
         }
 
     def discriminator_losses(self, disc_params: Params, y_est, target_original):
@@ -206,5 +208,6 @@ class UniverseGAN(Universe):
             "train/signal_mel": loss_mel, "train/signal_aux": loss_aux,
             "train/mrd_fm": loss_fm_s, "train/mpd_fm": loss_fm_f,
             "train/mrd_gen": loss_gen_s, "train/mpd_gen": loss_gen_f,
+            "train/time_mean": jnp.mean(gen_out["time"]),
         }
         return loss, metrics

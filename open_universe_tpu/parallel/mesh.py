@@ -46,6 +46,46 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+def param_sharding(mesh: Mesh, leaf, min_last: int = 128) -> NamedSharding:
+    """Tensor-parallel placement rule for one parameter/optimizer leaf.
+
+    Wide matrices/kernels (last axis = output channels >= ``min_last`` and
+    divisible by the tp size) are sharded over 'tp'; everything else is
+    replicated.  GSPMD then inserts the activation collectives.  The same
+    rule covers optimizer moments and EMA shadows since they share the
+    parameter shapes."""
+    tp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("tp", 1)
+    if (tp > 1 and hasattr(leaf, "ndim") and leaf.ndim >= 2
+            and leaf.shape[-1] >= min_last and leaf.shape[-1] % tp == 0):
+        return NamedSharding(mesh, P(*([None] * (leaf.ndim - 1) + ["tp"])))
+    return NamedSharding(mesh, P())
+
+
+def _tp_excluded(path) -> bool:
+    """Leaves that must stay replicated even when wide.
+
+    LayerNorm-style elementwise (C, T) affine weights trigger an XLA GSPMD
+    backward miscompilation when sharded on their last axis: the gradient of
+    a DOWNSTREAM (fully replicated!) conv kernel comes back scaled by the dp
+    axis size (measured 4x on a dp=4 x tp=2 CPU mesh, finite-difference
+    verified; minimal repro = layernorm(w sharded on T) -> conv -> mixture
+    NLL, jax 0.9.0).  Sharding an elementwise multiplier buys nothing
+    anyway — it saves no FLOPs and no interesting memory — so exclude it."""
+    return any(getattr(k, "key", None) == "layer_norm" for k in path)
+
+
+def shard_params(mesh: Mesh, tree, min_last: int = 128):
+    """Place a parameter-shaped pytree: tp-shard wide matmul/conv leaves,
+    replicate the rest.  With tp=1 this is exactly ``replicate``."""
+
+    def place(path, x):
+        if _tp_excluded(path):
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        return jax.device_put(x, param_sharding(mesh, x, min_last))
+
+    return jax.tree_util.tree_map_with_path(place, tree)
+
+
 def process_local_batch_slice(global_batch: int) -> slice:
     """The slice of a global batch this host should load (multi-host input)."""
     n = jax.process_count()

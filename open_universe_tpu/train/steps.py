@@ -66,11 +66,14 @@ def make_train_step(model: Universe, tx, clipper=None):
     ema_decay = model.train_kwargs.get("ema_decay", 0.0)
     nan_guard = model.train_kwargs.get("nan_guard", False)
 
-    def train_step(state, batch, key):
+    def train_step(state, batch, key, adaptive=None):
         params = state["params"]
+        pr_cum = None if adaptive is None else adaptive["pr_cum"]
+        bins = None if adaptive is None else adaptive["bins"]
 
         def loss_fn(p):
-            return model.training_losses(p, key, batch["noisy"], batch["clean"])
+            return model.training_losses(p, key, batch["noisy"], batch["clean"],
+                                         pr_cum=pr_cum, bins=bins)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
 
@@ -115,9 +118,11 @@ def make_gan_train_step(model: UniverseGAN, tx_gen, tx_disc,
     aux_warmup = aux_schedule.get("warmup_steps", 0)
     clip_vals = grad_clip_vals or {}
 
-    def train_step(state, batch, key):
+    def train_step(state, batch, key, adaptive=None):
         params = state["params"]
         step = state["step"]
+        pr_cum = None if adaptive is None else adaptive["pr_cum"]
+        bins = None if adaptive is None else adaptive["bins"]
         k_mix, k_fwd = jax.random.split(key)
 
         mix, target = batch["noisy"], batch["clean"]
@@ -135,7 +140,8 @@ def make_gan_train_step(model: UniverseGAN, tx_gen, tx_disc,
 
         def gfwd(gp):
             return model.generator_forward({**other, **gp}, k_fwd, mix, target,
-                                           target_original)
+                                           target_original,
+                                           pr_cum=pr_cum, bins=bins)
 
         gen_out, gen_vjp = jax.vjp(gfwd, gen_params)
 

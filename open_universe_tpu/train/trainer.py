@@ -31,7 +31,7 @@ import yaml
 
 from ..models.universe import Universe
 from ..models.universe_gan import UniverseGAN
-from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..parallel.mesh import make_mesh, shard_batch, shard_params
 from .ema import ema_apply
 from .optim import adamw, linear_warmup_cosine_annealing, make_clipper
 from .steps import init_train_state, make_gan_train_step, make_train_step
@@ -63,7 +63,8 @@ class Trainer:
                  max_val_batches: Optional[int] = None,
                  checkpoint_every: Optional[int] = None,
                  config: Optional[dict] = None,
-                 profile_steps: Optional[tuple] = None):
+                 profile_steps: Optional[tuple] = None,
+                 tp_min_shard: int = 128):
         self.model = model
         self.dm = datamodule
         self.output_dir = Path(output_dir)
@@ -75,6 +76,7 @@ class Trainer:
         self.checkpoint_every = checkpoint_every or val_check_interval
         self.config = config
         self.profile_steps = profile_steps  # (start, stop) -> jax trace dump
+        self.tp_min_shard = tp_min_shard  # smallest out-channel width tp-sharded
         self._first_val_done = False
         self.is_gan = isinstance(model, UniverseGAN)
         self.mesh = mesh if mesh is not None else make_mesh(tp=1)
@@ -161,7 +163,12 @@ class Trainer:
             self._step_fn = jax.jit(make_train_step(model, self.tx,
                                                     clipper=clipper))
 
-        self.state = replicate(self.mesh, self.state)
+        # dp: params replicated, batch sharded (GSPMD emits the grad psum).
+        # tp>1: wide weight matrices/kernels additionally sharded on their
+        # output-channel axis (same rule as __graft_entry__.dryrun_multichip;
+        # optimizer moments/EMA follow since they share parameter shapes).
+        self.state = shard_params(self.mesh, self.state,
+                                  min_last=self.tp_min_shard)
 
         # validation fns (jitted; one compile per val length bucket)
         self._val_loss_fn = jax.jit(
@@ -181,8 +188,18 @@ class Trainer:
             except Exception as e:
                 log.warning("enh loss %s unavailable: %s", name, e)
 
-        self.pr_cum = None
-        self.val_bins = None
+        # adaptive time-sampling state (reference universe.py:391-412,630-638):
+        # initialized uniform so the first steps (before any validation) use
+        # a flat histogram with the SAME array shapes as later updates — the
+        # jitted step compiles once.
+        self._adaptive_mode = (
+            self.model.train_kwargs.get("time_sampling") == "adaptive")
+        n_bins = self.model.val_kwargs.get("n_bins", 5)
+        tb = np.linspace(0.0, 1.0, n_bins + 1)
+        pr_cum = tb.copy()
+        pr_cum[-1] = 1.0 + 1e-5
+        self.pr_cum = jnp.asarray(pr_cum)
+        self.val_bins = jnp.asarray(tb)
 
     # ------------------------------------------------------------------
     def _log(self, metrics: Dict[str, Any], step: int):
@@ -220,7 +237,10 @@ class Trainer:
                     "noisy": batch["noisy"], "clean": batch["clean"]})
                 if self.profile_steps and step == self.profile_steps[0]:
                     jax.profiler.start_trace(str(self.output_dir / "profile"))
-                self.state, metrics = self._step_fn(self.state, jbatch, sub)
+                adaptive = ({"pr_cum": self.pr_cum, "bins": self.val_bins}
+                            if self._adaptive_mode else None)
+                self.state, metrics = self._step_fn(self.state, jbatch, sub,
+                                                    adaptive)
                 step += 1
                 if self.profile_steps and step == self.profile_steps[1]:
                     jax.tree_util.tree_map(
@@ -250,6 +270,25 @@ class Trainer:
         self.save(step, last=True)
         self._wait_for_saves()
         return self.state
+
+    def _bucketed_enhance(self, params, mix, key):
+        """Enhance with the clip padded up to a length bucket.
+
+        Validation/test clips are full-length and variable; jitting
+        ``enhance`` per unique length means one XLA compile per clip on TPU.
+        Padding to multiples of ``validation.bucket_seconds`` (default 1 s)
+        bounds compiles to O(buckets).  The zero pad slightly perturbs the
+        in-sampler RMS normalization (which is inverted on output), so the
+        trimmed result is equivalent up to normalization rounding."""
+        fs = self.model.fs
+        bucket = self.model.val_kwargs.get("bucket_seconds", 1.0)
+        t = mix.shape[1]
+        step_len = max(int(round(bucket * fs)), 1)
+        t_pad = int(math.ceil(t / step_len) * step_len)
+        if t_pad != t:
+            mix = jnp.pad(mix, ((0, 0), (0, t_pad - t), (0, 0)))
+        est = self._enhance_fn(params, mix, key)
+        return est[:, :t]
 
     # ------------------------------------------------------------------
     def validate(self, step: int) -> Dict[str, float]:
@@ -282,7 +321,7 @@ class Trainer:
 
             if bi < max_enh and self.enh_losses:
                 key, sub = jax.random.split(key)
-                est = self._enhance_fn(params, mix, sub)  # (B, T, 1)
+                est = self._bucketed_enhance(params, mix, sub)  # (B, T, 1)
                 est_np = np.asarray(est)[:, :, 0][:, None, :]
                 tgt_np = np.asarray(target)[:, :, 0][:, None, :]
                 self._log_audio_samples(step, bi, np.asarray(batch["noisy"]),
@@ -313,6 +352,55 @@ class Trainer:
         log.info("validation @%d: %s", step,
                  {k: round(v, 4) for k, v in metrics.items()})
         return metrics
+
+    # ------------------------------------------------------------------
+    def test(self, step: Optional[int] = None) -> Dict[str, float]:
+        """Full test-set evaluation (reference train.py:105-119 /
+        trainer.test): enhance every test clip, run the metric suite, and
+        write per-file results + a mean summary to the run dir using the
+        same JSON schema as bin/eval_metrics."""
+        from ..bin.eval_metrics import summarize
+
+        if step is None:
+            step = int(jax.device_get(self.state["step"]))
+        params = self._eval_params()
+        key = jax.random.key(VAL_SEED)
+        results: Dict[str, Dict[str, float]] = {}
+
+        loader = self.dm.test_dataloader()
+        for batch in loader:
+            mix = jnp.asarray(batch["noisy"])
+            target = np.asarray(batch["clean"])
+            key, sub = jax.random.split(key)
+            est = np.asarray(self._bucketed_enhance(params, mix, sub))
+            lengths = np.asarray(batch.get(
+                "length", [mix.shape[1]] * mix.shape[0]))
+            keys = batch.get("key", [f"clip{len(results) + i}"
+                                     for i in range(mix.shape[0])])
+            for i, name in enumerate(keys):
+                t_i = int(lengths[i])
+                est_i = est[i, :t_i, 0][None, None, :]
+                tgt_i = target[i, :t_i, 0][None, None, :]
+                entry: Dict[str, float] = {}
+                for lname, loss in self.enh_losses.items():
+                    vals = loss(est_i, tgt_i)
+                    if not isinstance(vals, dict):
+                        vals = {"": vals}
+                    for sub_name, v in vals.items():
+                        entry[(lname + sub_name).replace("val/", "")] = float(v)
+                results[str(name)] = entry
+
+        summary = summarize(results)
+        if jax.process_index() == 0:
+            with open(self.output_dir / "test_results.json", "w") as f:
+                json.dump(results, f, indent=2)
+            with open(self.output_dir / "test_summary.json", "w") as f:
+                json.dump(summary, f, indent=2)
+        self._log({f"test/{k}": v for k, v in summary.items()
+                   if k != "number"}, step)
+        log.info("test @%d over %d files: %s", step, int(summary.get(
+            "number", 0)), {k: round(v, 4) for k, v in summary.items()})
+        return summary
 
     def _log_audio_samples(self, step, batch_idx, mix, tgt, est):
         """Loudness-matched validation audio in TensorBoard
@@ -392,6 +480,7 @@ class Trainer:
         with ocp.PyTreeCheckpointer() as ckptr:
             restored = ckptr.restore(p.absolute(),
                                      item=jax.device_get(self.state))
-        self.state = replicate(self.mesh, restored)
+        self.state = shard_params(self.mesh, restored,
+                                  min_last=self.tp_min_shard)
         log.info("restored checkpoint %s (step %d)", p,
                  int(self.state["step"]))

@@ -1,0 +1,178 @@
+"""Trainer features added in round 2:
+
+- adaptive time sampling threaded through the jitted train step
+  (reference universe.py:414-470,630-638)
+- bucketed validation/test enhancement (bounded XLA compile count)
+- Trainer.test(): real test-set evaluation with results/summary JSON
+  (reference train.py:105-119)
+- tensor-parallel parameter sharding in the Trainer (dp x tp == dp-only)
+"""
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from open_universe_tpu.configs.registry import instantiate
+from open_universe_tpu.configs.resolve import compose
+from open_universe_tpu.parallel.mesh import make_mesh
+from open_universe_tpu.train.trainer import Trainer
+
+from test_e2e_train import _make_dataset
+
+TINY_OVERRIDES = [
+    "experiment=universe_original_vb_16k",
+    "datamodule.datasets.vb-train-16k.audio_len=0.1",
+    "datamodule.train.dl_opts.batch_size=8",
+    "model.score_model.n_channels=4",
+    "model.score_model.n_rff=8",
+    "model.score_model.noise_cond_dim=32",
+    "model.condition_model.n_mels=16",
+    "model.losses.mdn_n_comp=2",
+]
+
+# histogram putting all sampling mass in the last of 5 time bins
+SKEW_BINS = np.linspace(0.0, 1.0, 6).astype(np.float32)
+SKEW_PR_CUM = np.array([0.0, 0.0, 0.0, 0.0, 0.0, 1.0 + 1e-5], np.float32)
+
+
+def _tiny_model(extra=()):
+    cfg = compose("config", TINY_OVERRIDES + list(extra))
+    return instantiate(cfg["model"]), cfg
+
+
+def _batch(rng, b=16, t=1600):
+    clean = 0.1 * np.sin(
+        2 * np.pi * 300 * np.arange(t) / 16000).astype(np.float32)
+    clean = np.tile(clean, (b, 1))[:, :, None]
+    noisy = clean + 0.05 * rng.standard_normal((b, t, 1)).astype(np.float32)
+    return {"noisy": jnp.asarray(noisy), "clean": jnp.asarray(clean)}
+
+
+def test_sample_sigma_adaptive_skew():
+    model, _ = _tiny_model()
+    sigma, t = model.sample_sigma(
+        jax.random.key(0), 256, "adaptive",
+        pr_cum=jnp.asarray(SKEW_PR_CUM), bins=jnp.asarray(SKEW_BINS))
+    t = np.asarray(t)
+    assert (t >= 0.8).all() and (t <= 1.0).all()
+    # uniform histogram reproduces uniform sampling
+    uni = np.linspace(0, 1, 6).astype(np.float32)
+    uni[-1] = 1.0 + 1e-5
+    _, t2 = model.sample_sigma(
+        jax.random.key(0), 4096, "adaptive",
+        pr_cum=jnp.asarray(uni), bins=jnp.asarray(SKEW_BINS))
+    assert abs(float(jnp.mean(t2)) - 0.5) < 0.03
+
+
+def test_adaptive_threads_through_jitted_step(rng, tmp_path):
+    model, _ = _tiny_model(["model.training.time_sampling=adaptive"])
+    trainer = Trainer(model, None, tmp_path / "run", max_steps=1,
+                      seed=0, mesh=make_mesh(dp=8))
+    batch = _batch(rng)
+    key = jax.random.key(0)
+
+    skew = {"pr_cum": jnp.asarray(SKEW_PR_CUM), "bins": jnp.asarray(SKEW_BINS)}
+    _, m_skew = trainer._step_fn(trainer.state, batch, key, skew)
+    uniform = {"pr_cum": trainer.pr_cum, "bins": trainer.val_bins}
+    _, m_uni = trainer._step_fn(trainer.state, batch, key, uniform)
+    assert float(m_skew["train/time_mean"]) > 0.78
+    assert 0.3 < float(m_uni["train/time_mean"]) < 0.7
+    # same shapes -> the histogram update does not retrigger compilation
+    assert trainer._step_fn._cache_size() == 1
+
+
+def test_adaptive_gan_generator_forward(rng):
+    from test_checkpoint_conversion import TINY_GAN_CFG
+
+    cfg = {**TINY_GAN_CFG}
+    cfg["training"] = {**cfg["training"], "time_sampling": "adaptive"}
+    model = instantiate(cfg)
+    params = model.init(jax.random.key(0))
+    batch = _batch(rng, b=16, t=800)
+    out = model.generator_forward(
+        params, jax.random.key(1), batch["noisy"], batch["clean"],
+        batch["clean"], pr_cum=jnp.asarray(SKEW_PR_CUM),
+        bins=jnp.asarray(SKEW_BINS))
+    t = np.asarray(out["time"])
+    assert (t >= 0.8).all()
+
+
+def test_fit_adaptive_and_bucketed_validation(tmp_path, rng):
+    """fit() with time_sampling=adaptive: validation rebuilds the histogram
+    and later steps consume it; variable-length val clips compile the
+    enhance fn once (bucket padding)."""
+    _make_dataset(tmp_path / "data", n_train=8, n_val=3, n_test=2)
+    over = [
+        f"datamodule.datasets.vb-train-16k.audio_path={tmp_path/'data'}",
+        "model.training.time_sampling=adaptive",
+    ]
+    model, cfg = _tiny_model(over)
+    dm = instantiate(cfg["datamodule"])
+    trainer = Trainer(model, dm, tmp_path / "run", max_steps=4,
+                      val_check_interval=2, checkpoint_every=100,
+                      log_every=1, max_val_batches=3, seed=0,
+                      mesh=make_mesh(dp=8), config=cfg)
+    pr0 = np.asarray(trainer.pr_cum).copy()
+    trainer.fit()
+    # validation ran and updated the histogram consumed by the step
+    assert not np.allclose(np.asarray(trainer.pr_cum), pr0)
+    # jitted step compiled once despite histogram updates between steps
+    assert trainer._step_fn._cache_size() == 1
+    # val clips have 3 distinct lengths but the 1 s bucket bounds compiles
+    if trainer.enh_losses:
+        assert trainer._enhance_fn._cache_size() == 1
+
+
+def test_trainer_test_method(tmp_path, rng):
+    _make_dataset(tmp_path / "data", n_train=4, n_val=1, n_test=3)
+    over = [f"datamodule.datasets.vb-train-16k.audio_path={tmp_path/'data'}"]
+    model, cfg = _tiny_model(over)
+    dm = instantiate(cfg["datamodule"])
+    trainer = Trainer(model, dm, tmp_path / "run", max_steps=1, seed=0,
+                      mesh=make_mesh(dp=8), config=cfg)
+    trainer.enh_losses = {
+        "val/neg_mse": lambda est, ref: -float(np.mean((est - ref) ** 2)),
+        "val/multi": lambda est, ref: {"a": 1.0, "b": 2.0},
+    }
+    summary = trainer.test()
+    assert summary["number"] == 3
+    assert "neg_mse" in summary and summary["neg_mse"] <= 0.0
+    with open(tmp_path / "run" / "test_results.json") as f:
+        results = json.load(f)
+    assert len(results) == 3
+    for entry in results.values():
+        assert set(entry) == {"neg_mse", "multia", "multib"}
+    assert (tmp_path / "run" / "test_summary.json").exists()
+
+
+def test_tp_sharding_matches_dp_only(rng, tmp_path):
+    """dp x tp parameter sharding computes the same step as dp-only
+    (VERDICT weak #6: Trainer mesh_tp must be real, not cosmetic)."""
+    model, _ = _tiny_model()
+    batch = _batch(rng, b=8)
+    key = jax.random.key(3)
+
+    tr_dp = Trainer(model, None, tmp_path / "run_dp", max_steps=1, seed=0,
+                    mesh=make_mesh(dp=8))
+    tr_tp = Trainer(model, None, tmp_path / "run_tp", max_steps=1, seed=0,
+                    mesh=make_mesh(dp=4, tp=2), tp_min_shard=8)
+
+    # the tp mesh must actually shard something
+    from open_universe_tpu.parallel.mesh import param_sharding
+    import jax.tree_util as jtu
+
+    sharded = [
+        leaf for leaf in jtu.tree_leaves(tr_tp.state["params"])
+        if not param_sharding(tr_tp.mesh, leaf, 8).is_fully_replicated
+    ]
+    assert sharded, "tp=2 mesh left every parameter replicated"
+
+    _, m_dp = tr_dp._step_fn(tr_dp.state, batch, key, None)
+    _, m_tp = tr_tp._step_fn(tr_tp.state, batch, key, None)
+    np.testing.assert_allclose(float(m_dp["train/loss"]),
+                               float(m_tp["train/loss"]), rtol=2e-5)
+    np.testing.assert_allclose(float(m_dp["grad/norm"]),
+                               float(m_tp["grad/norm"]), rtol=2e-4)

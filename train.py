@@ -100,8 +100,9 @@ def main(argv=None):
     if cfg.get("train", True):
         trainer.fit(resume_from=cfg.get("ckpt_path"))
     if cfg.get("test", False):
-        metrics = trainer.validate(int(jax.device_get(trainer.state["step"])))
-        log.info("test metrics: %s", metrics)
+        # real test-set evaluation (reference train.py:105-119): enhance the
+        # test split and write test_results/test_summary JSON to the run dir
+        trainer.test()
 
 
 if __name__ == "__main__":
