@@ -112,8 +112,12 @@ def main(argv=None):
 
         try:  # too late if a backend was already initialized; best effort
             jax.config.update("jax_platforms", "cpu")
-        except Exception:
-            pass
+        except Exception as e:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "could not switch JAX to CPU (%s); metrics will run on the "
+                "session backend with per-length recompiles (slow on TPU)", e)
 
     deg_path = args.enhanced_path
     ds_name = deg_path.stem

@@ -54,10 +54,12 @@ def make_chunked_enhancer(
     import jax
     import jax.numpy as jnp
 
+    if not 0.0 <= overlap < 1.0:
+        # negative overlap would make hop > chunk, leaving sample ranges no
+        # chunk covers (near-silent gaps via the weight floor, not an error)
+        raise ValueError(f"overlap must be in [0, 1), got {overlap}")
     chunk = int(round(chunk_seconds * model.fs))
     ov = int(round(chunk * overlap))
-    if ov >= chunk:
-        raise ValueError("overlap must be < 1")
     hop = chunk - ov
 
     # enhance() loudness-normalizes each batch row independently and returns

@@ -11,6 +11,7 @@ test).  Run dir: exp/<experiment>/<datetime>/.
 import argparse
 import datetime
 import logging
+import os
 import sys
 from pathlib import Path
 
@@ -50,6 +51,19 @@ def main(argv=None):
     mh = cfg.get("multihost")
     if mh:
         if isinstance(mh, dict):
+            if (mh.get("coordinator_address") is not None
+                    and mh.get("process_id") is None
+                    and not any(os.environ.get(v) for v in
+                                ("SLURM_JOB_ID", "TPU_WORKER_ID",
+                                 "CLOUD_TPU_TASK_ID", "MEGASCALE_SLICE_ID"))):
+                # jax.distributed.initialize can only autodetect process_id
+                # under Cloud TPU/Slurm/GKE; on a hand-rolled cluster it must
+                # be set per host (e.g. CLI override multihost.process_id=N)
+                raise ValueError(
+                    "multihost.coordinator_address is set but "
+                    "multihost.process_id is not, and no supported cluster "
+                    "environment was detected; pass multihost.process_id "
+                    "per host (CLI override multihost.process_id=N)")
             jax.distributed.initialize(
                 coordinator_address=mh.get("coordinator_address"),
                 num_processes=mh.get("num_processes"),
