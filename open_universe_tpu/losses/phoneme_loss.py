@@ -20,15 +20,23 @@ W2V_SR = 16000
 
 
 class PhonemePredictor:
-    """Frozen Flax wav2vec2 CTC logits over a (B, T) waveform."""
+    """Frozen Flax wav2vec2 CTC logits over a (B, T) waveform.
 
-    def __init__(self, checkpoint: str = DEFAULT_CHECKPOINT):
-        try:
-            from transformers import FlaxWav2Vec2ForCTC
-        except ImportError as e:  # pragma: no cover
-            raise RuntimeError("transformers is required for phoneme losses") from e
-        self.model = FlaxWav2Vec2ForCTC.from_pretrained(checkpoint,
-                                                        from_pt=True)
+    ``model`` injects an already-constructed FlaxWav2Vec2ForCTC (any size);
+    used by the tests to exercise the full loss path with a tiny
+    randomly-initialized config, and usable for locally-cached weights.
+    """
+
+    def __init__(self, checkpoint: str = DEFAULT_CHECKPOINT, model=None):
+        if model is None:
+            try:
+                from transformers import FlaxWav2Vec2ForCTC
+            except ImportError as e:  # pragma: no cover
+                raise RuntimeError(
+                    "transformers is required for phoneme losses") from e
+            model = FlaxWav2Vec2ForCTC.from_pretrained(checkpoint,
+                                                       from_pt=True)
+        self.model = model
         self.blank = self.model.config.pad_token_id
         self.sr = W2V_SR
 
@@ -55,9 +63,9 @@ class PhonemeEmbeddingLoss:
     """MSE between phoneme logits of estimate and target."""
 
     def __init__(self, checkpoint: str = DEFAULT_CHECKPOINT, sr: int = 16000,
-                 loss=None):
+                 loss=None, model=None):
         self.sr = sr
-        self.phoneme_predictor = PhonemePredictor(checkpoint)
+        self.phoneme_predictor = PhonemePredictor(checkpoint, model=model)
         self.loss = loss or (lambda a, b: jnp.mean(jnp.square(a - b)))
 
     def __call__(self, input, target):
@@ -70,9 +78,10 @@ class PhonemeEmbeddingLoss:
 class PhonemeLoss:
     """Frame-wise cross-entropy against the target's argmax phonemes."""
 
-    def __init__(self, checkpoint: str = DEFAULT_CHECKPOINT, sr: int = 16000):
+    def __init__(self, checkpoint: str = DEFAULT_CHECKPOINT, sr: int = 16000,
+                 model=None):
         self.sr = sr
-        self.phoneme_predictor = PhonemePredictor(checkpoint)
+        self.phoneme_predictor = PhonemePredictor(checkpoint, model=model)
 
     def __call__(self, input, target):
         li = self.phoneme_predictor(_maybe_resample(input, self.sr))
@@ -87,9 +96,10 @@ class PhonemeLoss:
 class PhonemeCTCLoss:
     """CTC loss on estimate logits vs the target's collapsed phoneme ids."""
 
-    def __init__(self, checkpoint: str = DEFAULT_CHECKPOINT, sr: int = 16000):
+    def __init__(self, checkpoint: str = DEFAULT_CHECKPOINT, sr: int = 16000,
+                 model=None):
         self.sr = sr
-        self.phoneme_predictor = PhonemePredictor(checkpoint)
+        self.phoneme_predictor = PhonemePredictor(checkpoint, model=model)
         self.blank = self.phoneme_predictor.blank
 
     def _targets_to_ctc(self, target):

@@ -54,18 +54,24 @@ def _find_model(personalized: bool) -> Path:
 
 class Compute_DNSMOS:
     def __init__(self, personalized_MOS: bool = False,
-                 sampling_rate: int = SAMPLING_RATE, num_threads=None):
-        try:
-            import onnxruntime as ort
-        except ImportError as e:  # pragma: no cover
-            raise RuntimeError(
-                "onnxruntime is required for DNSMOS (pip install onnxruntime)"
-            ) from e
-        sess_opt = ort.SessionOptions()
-        if num_threads is not None:
-            sess_opt.intra_op_num_threads = num_threads
-        self.onnx_sess = ort.InferenceSession(
-            str(_find_model(personalized_MOS)), sess_opt)
+                 sampling_rate: int = SAMPLING_RATE, num_threads=None,
+                 session=None):
+        """``session`` injects any object with onnxruntime's
+        ``run(None, {"input_1": feats})`` interface — tests use a stub to
+        exercise the windowing/calibration pipeline without onnxruntime."""
+        if session is None:
+            try:
+                import onnxruntime as ort
+            except ImportError as e:  # pragma: no cover
+                raise RuntimeError(
+                    "onnxruntime is required for DNSMOS "
+                    "(pip install onnxruntime)") from e
+            sess_opt = ort.SessionOptions()
+            if num_threads is not None:
+                sess_opt.intra_op_num_threads = num_threads
+            session = ort.InferenceSession(
+                str(_find_model(personalized_MOS)), sess_opt)
+        self.onnx_sess = session
         self.is_personalized_MOS = personalized_MOS
         self.fs = sampling_rate
 

@@ -39,23 +39,45 @@ class PhonemePredictor:
         return self.processor.batch_decode(ids)[0]
 
 
+def levenshtein_distance(a: str, b: str) -> int:
+    """Plain DP edit distance — fallback when python-Levenshtein is absent."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _distance(a: str, b: str) -> int:
+    try:
+        from Levenshtein import distance
+    except ImportError:
+        return levenshtein_distance(a, b)
+    return distance(a, b)
+
+
 class LevenshteinPhonemeSimilarity:
     def __init__(self, sr: int = WAV2VEC2_SR,
-                 checkpoint: str = DEFAULT_CHECKPOINT):
-        self.phoneme_predictor = PhonemePredictor(checkpoint)
+                 checkpoint: str = DEFAULT_CHECKPOINT, predictor=None):
+        """``predictor`` injects any waveform -> phoneme-string callable
+        (tests use a mock; default is the wav2vec2 espeak CTC model)."""
+        self.phoneme_predictor = predictor or PhonemePredictor(checkpoint)
         self.sr = sr
 
     def _maybe_resample(self, audio):
-        if self.sr != self.phoneme_predictor.sr:
-            return resample_audio(np.asarray(audio), self.sr,
-                                  self.phoneme_predictor.sr)
+        pred_sr = getattr(self.phoneme_predictor, "sr", WAV2VEC2_SR)
+        if self.sr != pred_sr:
+            return resample_audio(np.asarray(audio), self.sr, pred_sr)
         return audio
 
     def __call__(self, sample, reference) -> float:
-        from Levenshtein import distance
-
         sample = self._maybe_resample(sample)
         reference = self._maybe_resample(reference)
         sample_ph = self.phoneme_predictor(sample).replace(" ", "")
         ref_ph = self.phoneme_predictor(reference).replace(" ", "")
-        return 1.0 - distance(sample_ph, ref_ph) / len(ref_ph)
+        return 1.0 - _distance(sample_ph, ref_ph) / len(ref_ph)

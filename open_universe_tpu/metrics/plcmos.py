@@ -66,17 +66,22 @@ def _stft_features(audio: np.ndarray, dft_size: int = 512,
 
 class PLCMOSEstimator:
     def __init__(self, model_version: int = 2, embed_rounds: int = 15,
-                 num_threads=None):
+                 num_threads=None, session=None):
+        """``session`` injects any object with onnxruntime's ``run``
+        interface — tests use a stub to exercise the feature pipeline
+        without onnxruntime."""
         if str(model_version) != "2":
             raise NotImplementedError("only PLCMOS v2 is supported")
-        try:
-            import onnxruntime as ort
-        except ImportError as e:  # pragma: no cover
-            raise RuntimeError("onnxruntime is required for PLCMOS") from e
-        sess_opt = ort.SessionOptions()
-        if num_threads is not None:
-            sess_opt.intra_op_num_threads = num_threads
-        self.session = ort.InferenceSession(str(_find_model()), sess_opt)
+        if session is None:
+            try:
+                import onnxruntime as ort
+            except ImportError as e:  # pragma: no cover
+                raise RuntimeError("onnxruntime is required for PLCMOS") from e
+            sess_opt = ort.SessionOptions()
+            if num_threads is not None:
+                sess_opt.intra_op_num_threads = num_threads
+            session = ort.InferenceSession(str(_find_model()), sess_opt)
+        self.session = session
         self.embed_rounds = embed_rounds
 
     def run(self, audio_degraded: np.ndarray, sr_degraded: int) -> float:
