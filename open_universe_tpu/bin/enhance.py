@@ -24,6 +24,17 @@ from ..inference.signature_to_parser import add_enhance_arguments
 DEFAULT_SEED = 1028282  # reference bin/enhance.py:112
 
 
+_WRITABLE_EXTS = (".wav", ".mp3", ".flac")
+
+
+def _out_suffix(out_path: Path) -> Path:
+    """Keep the input container when we can encode it (reference
+    bin/enhance.py:192 writes with the original suffix); otherwise wav."""
+    if out_path.suffix.lower() in _WRITABLE_EXTS:
+        return out_path
+    return out_path.with_suffix(".wav")
+
+
 def find_files(input_path: Path):
     if input_path.is_dir():
         files = sorted(p for p in input_path.rglob("*")
@@ -120,7 +131,7 @@ def main(argv=None):
                 out_path = (args.output / path.name
                             if args.output.is_dir() else args.output)
             out_path.parent.mkdir(exist_ok=True, parents=True)
-            save_audio(out_path.with_suffix(".wav"), out, fs)
+            save_audio(_out_suffix(out_path), out, fs)
             n_done += 1
             print(f"[{n_done}/{len(files)}] {path.name}", file=sys.stderr)
         dt = time.perf_counter() - t0
@@ -164,7 +175,7 @@ def main(argv=None):
                 out_path = (args.output / path.name
                             if args.output.is_dir() else args.output)
                 out_path.parent.mkdir(exist_ok=True, parents=True)
-            save_audio(out_path.with_suffix(".wav"), out, rates[i])
+            save_audio(_out_suffix(out_path), out, rates[i])
             n_done += 1
         print(f"[{n_done}/{len(files)}] bucket {bucket_len / model.fs:.1f}s "
               f"x{len(group)}", file=sys.stderr)

@@ -1,8 +1,10 @@
 """Audio file IO and CPU-side resampling (no torchaudio/soundfile needed).
 
-WAV files are read/written with scipy (PCM 16/24/32 and float); other
-containers (mp3/flac/ogg) are supported when the optional ``soundfile``
-library is installed.  Resampling uses the same windowed-sinc polyphase
+The reference enhance CLI accepts wav/mp3/flac (reference
+bin/enhance.py:173-178, via torchaudio).  Here: WAV is read/written with
+scipy (PCM 16/24/32 and float), MP3 via ctypes libmpg123/libmp3lame, FLAC
+via the in-house codec (data/codecs.py); ogg falls back to the optional
+``soundfile`` package.  Resampling uses the same windowed-sinc polyphase
 design as our on-device resampler (torchaudio-compatible).
 """
 from __future__ import annotations
@@ -38,6 +40,14 @@ def load_audio(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
         else:
             data = data.T
         return np.ascontiguousarray(data), int(fs)
+    if path.suffix.lower() == ".mp3":
+        from .codecs import decode_mp3
+
+        return decode_mp3(path)
+    if path.suffix.lower() == ".flac":
+        from .codecs import decode_flac
+
+        return decode_flac(path)
     try:
         import soundfile as sf
     except ImportError as e:  # pragma: no cover
@@ -49,10 +59,21 @@ def load_audio(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
 
 
 def save_audio(path: Union[str, Path], audio: np.ndarray, fs: int):
-    """audio: (channels, T) or (T,) float32."""
+    """audio: (channels, T) or (T,) float32. Container chosen by suffix."""
+    path = Path(path)
+    audio = np.asarray(audio)
+    if path.suffix.lower() == ".mp3":
+        from .codecs import encode_mp3
+
+        encode_mp3(path, np.clip(audio, -1.0, 1.0), fs)
+        return
+    if path.suffix.lower() == ".flac":
+        from .codecs import encode_flac
+
+        encode_flac(path, np.clip(audio, -1.0, 1.0), fs)
+        return
     from scipy.io import wavfile
 
-    audio = np.asarray(audio)
     if audio.ndim == 2:
         audio = audio.T  # scipy expects (T, C)
     pcm = np.clip(audio, -1.0, 1.0)
