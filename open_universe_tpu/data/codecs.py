@@ -248,6 +248,12 @@ def _decode_residual(bits: _Bits, blocksize: int, order: int) -> np.ndarray:
     escape = (1 << plen) - 1
     part_order = bits.read(4)
     nparts = 1 << part_order
+    # spec: blocksize must divide evenly into 2^order partitions and the
+    # first partition (blocksize/nparts - order samples) cannot be negative.
+    # Without this check a crafted stream under/overruns the residual buffer
+    # (negative first-partition length makes the write cursor negative).
+    if blocksize % nparts or (blocksize >> part_order) < order:
+        raise ValueError("flac: invalid residual partition order")
     out = np.empty(blocksize - order, np.int64)
     w = 0
     for p in range(nparts):
@@ -278,6 +284,8 @@ def _decode_subframe(bits: _Bits, blocksize: int, bps: int) -> np.ndarray:
     if bits.read(1):
         wasted = bits.unary() + 1
         bps -= wasted
+    if bps <= 0:
+        raise ValueError("flac: wasted bits exceed bits per sample")
 
     if stype == 0:  # constant
         out = np.full(blocksize, bits.read_signed(bps), np.int64)
@@ -286,6 +294,8 @@ def _decode_subframe(bits: _Bits, blocksize: int, bps: int) -> np.ndarray:
                        np.int64)
     elif 8 <= stype <= 12:  # fixed
         order = stype - 8
+        if order > blocksize:
+            raise ValueError("flac: predictor order exceeds blocksize")
         warm = [bits.read_signed(bps) for _ in range(order)]
         res = _decode_residual(bits, blocksize, order)
         out = np.empty(blocksize, np.int64)
@@ -296,11 +306,15 @@ def _decode_subframe(bits: _Bits, blocksize: int, bps: int) -> np.ndarray:
             out[i] = res[i - order] + pred
     elif stype >= 32:  # LPC
         order = stype - 31
+        if order > blocksize:
+            raise ValueError("flac: predictor order exceeds blocksize")
         warm = [bits.read_signed(bps) for _ in range(order)]
         precision = bits.read(4) + 1
         if precision == 16:
             raise ValueError("flac: invalid lpc precision")
         shift = bits.read_signed(5)
+        if shift < 0:
+            raise ValueError("flac: negative lpc shift")
         coeffs = [bits.read_signed(precision) for _ in range(order)]
         res = _decode_residual(bits, blocksize, order)
         out = np.empty(blocksize, np.int64)
@@ -317,9 +331,24 @@ def _decode_subframe(bits: _Bits, blocksize: int, bps: int) -> np.ndarray:
 
 
 def decode_flac(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
-    """Returns (audio (channels, T) float32 in [-1, 1], sample_rate)."""
+    """Returns (audio (channels, T) float32 in [-1, 1], sample_rate).
+
+    Dispatches to the native C++ decoder (open_universe_tpu/native) when it
+    is available; the pure-Python path below is the reference implementation
+    and fallback (tests assert sample-for-sample agreement).
+    """
     with open(path, "rb") as f:
         data = f.read()
+    from ..native import get_flac_lib
+    if get_flac_lib() is not None:
+        from ..native import flac_decode_native
+        samples, rate, bps = flac_decode_native(data)
+        scale = float(1 << (bps - 1))
+        return samples.astype(np.float32) / scale, rate
+    return _decode_flac_python(data, path)
+
+
+def _decode_flac_python(data: bytes, path="<bytes>") -> Tuple[np.ndarray, int]:
     if data[:4] != b"fLaC":
         raise ValueError(f"{path} is not a FLAC file")
 
@@ -418,6 +447,11 @@ def decode_flac(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
              else np.zeros((channels, 0), np.int64))
     if total:
         audio = audio[:, :total]
+    # any valid stream fits signed 32-bit (bps <= 32); a decoded value
+    # outside that range means a malformed stream, and the native decoder's
+    # int32 output would otherwise silently truncate where this path doesn't
+    if audio.size and (audio.max() > 0x7FFFFFFF or audio.min() < -0x80000000):
+        raise ValueError("flac: decoded sample out of int32 range")
     scale = float(1 << (bps - 1))
     return (audio.astype(np.float32) / scale), int(rate)
 
@@ -561,6 +595,20 @@ def encode_flac(path: Union[str, Path], audio: np.ndarray, fs: int,
         raise ValueError("flac supports at most 8 channels")
     if stereo_mode != "auto" and stereo_mode != "independent" and nch != 2:
         raise ValueError(f"stereo_mode={stereo_mode} needs 2 channels")
+    _SS_CODES = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}
+    if bps not in _SS_CODES:
+        raise ValueError(f"unsupported bits-per-sample {bps}")
+
+    from ..native import get_flac_lib
+    if get_flac_lib() is not None:
+        from ..native import flac_encode_native
+        mode = stereo_mode if nch == 2 else "independent"
+        if mode == "auto":
+            mode = "left_side"
+        data = flac_encode_native(samples, fs, bps, block_size, mode)
+        with open(path, "wb") as f:
+            f.write(data)
+        return
 
     out = bytearray(b"fLaC")
     # STREAMINFO (last metadata block)
