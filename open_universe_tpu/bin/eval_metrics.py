@@ -49,17 +49,25 @@ def summarize(results, ignore_inf=True):
     return dict(summary)
 
 
+_AUDIO_EXTS = (".wav", ".flac", ".mp3")
+
+
 def prepare(ref_path, deg_path, results_path):
     results = {}
     if results_path.exists():
         with open(results_path) as f:
             results = json.load(f)
-    paths = {p.stem: {"deg": p, "ref": None} for p in deg_path.rglob("*.wav")}
+    # the reference collects *.wav only (reference bin/eval_metrics.py:86);
+    # we also accept the other containers the enhance CLI can emit
+    paths = {p.stem: {"deg": p, "ref": None}
+             for ext in _AUDIO_EXTS for p in deg_path.rglob(f"*{ext}")}
     if ref_path is not None:
         for label in paths:
-            rp = ref_path / f"{label}.wav"
-            if rp.exists():
-                paths[label]["ref"] = rp
+            for ext in _AUDIO_EXTS:
+                rp = ref_path / f"{label}{ext}"
+                if rp.exists():
+                    paths[label]["ref"] = rp
+                    break
     missing = [lbl for lbl in results if lbl not in paths]
     if missing:
         raise ValueError(f"results reference missing files: {missing[:5]}")
@@ -90,6 +98,32 @@ def save_results(results, results_path, summary_path):
         json.dump(summarize(results), f, indent=2)
 
 
+_worker_computer = None
+
+
+def _worker_init(metric_names, device):
+    """Runs once per worker process (spawn): pin JAX to CPU before any
+    backend use, then build the per-process Metrics dispatcher."""
+    global _worker_computer
+    if device == "cpu":
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+    _worker_computer = Metrics(metrics=metric_names)
+
+
+def _worker_eval(task):
+    label, pd, skip = task
+    try:
+        fs, deg, ref = load_files(pd)
+        return label, _worker_computer(fs, deg, ref, skip_list=skip), None
+    except Exception as e:  # report, don't kill the pool
+        return label, None, f"{type(e).__name__}: {e}"
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         description="Run evaluation on an enhanced speech folder")
@@ -99,6 +133,10 @@ def main(argv=None):
     parser.add_argument("--metrics", nargs="+",
                         choices=Metrics.get_metric_names())
     parser.add_argument("--save-every", type=int, default=100)
+    parser.add_argument(
+        "--workers", type=int, default=1,
+        help="parallel worker processes for the per-file metric computation "
+        "(host-side CPU workload; the reference runs sequentially)")
     parser.add_argument(
         "--device", choices=("cpu", "default"), default="cpu",
         help="jax platform for the jax-based metrics (lsd/stoi/si-sdr). "
@@ -130,20 +168,46 @@ def main(argv=None):
     summary_path = result_dir / f"{ds_name}_summary.json"
     results, paths = prepare(args.ref_path, deg_path, results_path)
 
-    computer = Metrics(metrics=args.metrics)
-    for n, label in enumerate(sorted(results)):
-        fs, deg, ref = load_files(paths[label])
-        skip = set(results[label].keys())
-        try:
-            results[label].update(computer(fs, deg, ref, skip_list=skip))
-        except Exception as e:
-            # one unusable file (too short / silent / corrupt) must not
-            # abort the run; it stays absent from results so a rerun after
-            # fixing it picks it up (incremental skip-list design)
-            print(f"warning: metrics failed on {label}: {e}", file=sys.stderr)
-        if (n + 1) % args.save_every == 0:
-            save_results(results, results_path, summary_path)
-            print(f"[{n + 1}/{len(results)}]", file=sys.stderr)
+    if args.workers > 1:
+        # per-file metrics are independent: fan out over processes (spawn,
+        # so no forked accelerator backend), stream results back for the
+        # same incremental saves as the sequential path
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor, as_completed
+
+        tasks = [(lbl, paths[lbl], set(results[lbl].keys()))
+                 for lbl in sorted(results)]
+        with ProcessPoolExecutor(
+                max_workers=args.workers, mp_context=mp.get_context("spawn"),
+                initializer=_worker_init,
+                initargs=(args.metrics, args.device)) as ex:
+            futures = [ex.submit(_worker_eval, t) for t in tasks]
+            for n, fut in enumerate(as_completed(futures)):
+                label, res, err = fut.result()
+                if err is not None:
+                    print(f"warning: metrics failed on {label}: {err}",
+                          file=sys.stderr)
+                else:
+                    results[label].update(res)
+                if (n + 1) % args.save_every == 0:
+                    save_results(results, results_path, summary_path)
+                    print(f"[{n + 1}/{len(results)}]", file=sys.stderr)
+    else:
+        computer = Metrics(metrics=args.metrics)
+        for n, label in enumerate(sorted(results)):
+            skip = set(results[label].keys())
+            try:
+                fs, deg, ref = load_files(paths[label])
+                results[label].update(computer(fs, deg, ref, skip_list=skip))
+            except Exception as e:
+                # one unusable file (too short / silent / corrupt) must not
+                # abort the run; it stays absent from results so a rerun
+                # after fixing it picks it up (incremental skip-list design)
+                print(f"warning: metrics failed on {label}: {e}",
+                      file=sys.stderr)
+            if (n + 1) % args.save_every == 0:
+                save_results(results, results_path, summary_path)
+                print(f"[{n + 1}/{len(results)}]", file=sys.stderr)
 
     save_results(results, results_path, summary_path)
     print(json.dumps(summarize(results), indent=2))

@@ -53,6 +53,41 @@ def test_enhance_cli(tmp_path, tiny_ckpt, rng):
     assert np.isfinite(enh).all()
 
 
+def test_enhance_cli_mixed_containers(tmp_path, tiny_ckpt, rng):
+    """flac/mp3/wav inputs are decoded and outputs keep the container
+    (reference bin/enhance.py:173-178,192)."""
+    import ctypes
+
+    try:
+        ctypes.CDLL("libmpg123.so.0")
+        have_mp3 = True
+    except OSError:
+        have_mp3 = False
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    fs = 16000
+    t = int(0.3 * fs)
+    x = (0.1 * np.sin(2 * np.pi * 300 * np.arange(t) / fs)
+         + 0.02 * rng.standard_normal(t)).astype(np.float32)
+    names = ["a.flac", "c.wav"] + (["b.mp3"] if have_mp3 else [])
+    for n in names:
+        save_audio(in_dir / n, x, fs)
+
+    out_dir = tmp_path / "out"
+    from open_universe_tpu.bin.enhance import main
+
+    rc = main([str(in_dir), str(out_dir), "--model", str(tiny_ckpt),
+               "--batch-size", "2", "--bucket-seconds", "0.5",
+               "--n_steps", "2"])
+    assert rc == 0
+    got = sorted(p.name for p in out_dir.iterdir())
+    assert got == sorted(names)
+    for p in out_dir.iterdir():
+        y, fs2 = load_audio(p)
+        assert fs2 == fs and y.shape[-1] > 0 and np.isfinite(y).all()
+
+
 def test_eval_metrics_and_make_table_cli(tmp_path, rng, capsys):
     fs = 16000
     deg_dir = tmp_path / "enhanced"
@@ -93,6 +128,50 @@ def test_eval_metrics_and_make_table_cli(tmp_path, rng, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "tiny" in out and "si-sdr" in out
+
+
+def test_eval_metrics_parallel_and_mixed_containers(tmp_path, rng):
+    """--workers N matches the sequential results; flac degraded files and
+    flac references are collected alongside wav (extension beyond the
+    reference, which globs *.wav only — reference bin/eval_metrics.py:86)."""
+    fs = 16000
+    deg_dir = tmp_path / "enhanced"
+    ref_dir = tmp_path / "clean"
+    deg_dir.mkdir()
+    ref_dir.mkdir()
+    for i in range(3):
+        t = 2 * fs
+        clean = (0.1 * np.sin(2 * np.pi * (250 + 30 * i) * np.arange(t) / fs)
+                 * (0.6 + 0.4 * np.sin(2 * np.pi * 2.5 * np.arange(t) / fs))
+                 + 0.02 * rng.standard_normal(t)).astype(np.float32)
+        deg = clean + 0.03 * rng.standard_normal(t).astype(np.float32)
+        ext = "flac" if i == 1 else "wav"
+        save_audio(ref_dir / f"c{i}.{ext}", clean, fs)
+        save_audio(deg_dir / f"c{i}.{ext}", deg, fs)
+
+    from open_universe_tpu.bin.eval_metrics import main as eval_main
+
+    seq_dir = tmp_path / "seq"
+    seq_dir.mkdir()
+    rc = eval_main([str(deg_dir), "--ref_path", str(ref_dir),
+                    "--result_dir", str(seq_dir),
+                    "--metrics", "si-sdr", "lsd"])
+    assert rc == 0
+    par_dir = tmp_path / "par"
+    par_dir.mkdir()
+    rc = eval_main([str(deg_dir), "--ref_path", str(ref_dir),
+                    "--result_dir", str(par_dir), "--workers", "2",
+                    "--metrics", "si-sdr", "lsd"])
+    assert rc == 0
+
+    with open(seq_dir / "enhanced.json") as f:
+        seq = json.load(f)
+    with open(par_dir / "enhanced.json") as f:
+        par = json.load(f)
+    assert set(seq) == set(par) == {"c0", "c1", "c2"}
+    for lbl in seq:
+        for met in seq[lbl]:
+            assert abs(seq[lbl][met] - par[lbl][met]) < 1e-6, (lbl, met)
 
 
 def test_enhance_cli_chunked(tmp_path, tiny_ckpt, rng):
