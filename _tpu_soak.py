@@ -1,0 +1,183 @@
+"""Long on-chip GAN training soak (round-2 item: schedules/EMA/resume proof).
+
+Two-phase run on the real TPU chip against a synthetic denoising task:
+
+  python _tpu_soak.py --phase 1    # steps 0..12500, val+ckpt every 2500
+  python _tpu_soak.py --phase 2    # fresh process, resume from last.json,
+                                   # continue to 25000
+
+Both phases use identical schedule horizons (T_max pinned to the full 25k),
+so the LR curve is continuous across the restart — the resume proof is that
+phase 2 picks up at step 12500 with the same optimizer/EMA/clipper state and
+the metric trajectory continues without a discontinuity.
+
+Validation every 2500 steps runs the real metric loop: 5-bin score loss
+(feeding the adaptive-time-sampling histogram), enhancement on val batches,
+EvalMetrics (val/pesq via in-house P.862, val/si-sdr, val/lsd, val/stoi),
+and TensorBoard audio.  Each validate() result is appended to
+exp/soak_r2/val_curve.jsonl for the working-notes summary.
+
+Matches reference behavior being soaked: universe_gan.py training_step +
+validation loop (universe.py:560-704), LinearWarmupCosineAnnealingLR at 2x
+step, EMA(0.999), orbax resume.
+"""
+import argparse
+import json
+import logging
+import time
+from pathlib import Path
+
+import numpy as np
+
+logging.basicConfig(
+    level=logging.INFO,
+    format="%(asctime)s %(name)s %(levelname)s %(message)s")
+log = logging.getLogger("soak")
+
+ROOT = Path(__file__).parent
+DATA = ROOT / "exp" / "soak_data"
+RUN = ROOT / "exp" / "soak_r2"
+FS = 16000
+TOTAL_STEPS = 25_000
+PHASE1_STEPS = 12_500
+VAL_EVERY = 2_500
+
+
+def make_dataset():
+    """Synthetic denoising task with enough variety that the GAN recipe has
+    real work to do: clean = 2-3 AM'd harmonics with random f0/phase plus a
+    soft onset/offset envelope; noisy = clean + white+lowpassed noise at
+    0-12 dB SNR."""
+    from open_universe_tpu.data.audio import save_audio
+
+    if (DATA / ".done").exists():
+        return
+    rng = np.random.default_rng(1234)
+    t = np.arange(int(2.0 * FS)) / FS
+    for split, n in (("train", 256), ("val", 16), ("test", 16)):
+        (DATA / split / "clean").mkdir(parents=True, exist_ok=True)
+        (DATA / split / "noisy").mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            f0 = rng.uniform(120.0, 380.0)
+            clean = np.zeros_like(t)
+            for h in range(1, 1 + rng.integers(2, 4)):
+                am = 0.5 + 0.5 * np.sin(
+                    2 * np.pi * rng.uniform(0.5, 4.0) * t
+                    + rng.uniform(0, 2 * np.pi))
+                clean += (0.08 / h) * am * np.sin(
+                    2 * np.pi * h * f0 * t + rng.uniform(0, 2 * np.pi))
+            env = np.minimum(1.0, np.minimum(t, t[-1] - t) / 0.05)
+            clean *= env
+            white = rng.standard_normal(t.shape)
+            pink = np.convolve(white, np.ones(8) / 8.0, mode="same")
+            noise = 0.7 * white + 0.7 * pink
+            snr_db = rng.uniform(0.0, 12.0)
+            gain = (np.linalg.norm(clean) /
+                    (np.linalg.norm(noise) * 10 ** (snr_db / 20.0) + 1e-9))
+            noisy = clean + gain * noise
+            save_audio(DATA / split / "clean" / f"c{i:03d}.wav",
+                       clean.astype(np.float32), FS)
+            save_audio(DATA / split / "noisy" / f"c{i:03d}.wav",
+                       noisy.astype(np.float32), FS)
+    (DATA / ".done").touch()
+    log.info("dataset written to %s", DATA)
+
+
+def build(max_steps):
+    from open_universe_tpu.configs.registry import instantiate
+    from open_universe_tpu.configs.resolve import compose
+    from open_universe_tpu.parallel.mesh import make_mesh
+    from open_universe_tpu.train.trainer import Trainer
+
+    overrides = [
+        "experiment=universepp_vb_16k",
+        f"datamodule.datasets.vb-train-16k.audio_path={DATA}",
+        "datamodule.datasets.vb-train-16k.audio_len=0.5",
+        "datamodule.train.dl_opts.batch_size=16",
+        "model.training.compute_dtype=bf16",
+        "model.training.nan_guard=true",
+        "model.validation.num_tb_samples=2",
+        # shorter horizons so the 25k soak actually exercises the
+        # warmup->cosine shape (still evaluated at 2x step like the ref)
+        "model.scheduler.generator.scheduler.T_warmup=4000",
+        "model.scheduler.generator.scheduler.T_cosine=50000",
+        f"model.scheduler.generator.scheduler.T_max={2 * TOTAL_STEPS}",
+        "model.scheduler.discriminator.scheduler.T_warmup=4000",
+        "model.scheduler.discriminator.scheduler.T_cosine=50000",
+        f"model.scheduler.discriminator.scheduler.T_max={2 * TOTAL_STEPS}",
+    ]
+    cfg = compose("config", overrides)
+    dm = instantiate(cfg["datamodule"])
+    model = instantiate(cfg["model"])
+
+    class CurveTrainer(Trainer):
+        def validate(self, step):
+            metrics = super().validate(step)
+            rec = {"step": step, "time": time.time(), **metrics}
+            with open(RUN / "val_curve.jsonl", "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            return metrics
+
+    trainer = CurveTrainer(
+        model, dm, RUN, max_steps=max_steps,
+        val_check_interval=VAL_EVERY, checkpoint_every=VAL_EVERY,
+        log_every=250, max_val_batches=4, seed=0, mesh=make_mesh(dp=1),
+        config=cfg)
+    return trainer
+
+
+def main():
+    global RUN, TOTAL_STEPS, PHASE1_STEPS, VAL_EVERY
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", type=int, required=True, choices=(1, 2))
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny step counts + separate run dir (config check)")
+    args = ap.parse_args()
+
+    if args.smoke:
+        RUN = ROOT / "exp" / "soak_smoke"
+        TOTAL_STEPS, PHASE1_STEPS, VAL_EVERY = 20, 10, 5
+
+    make_dataset()
+    RUN.mkdir(parents=True, exist_ok=True)
+
+    if args.phase == 1:
+        trainer = build(PHASE1_STEPS)
+        t0 = time.time()
+        trainer.fit()
+        log.info("phase 1 done: %d steps in %.0fs", PHASE1_STEPS,
+                 time.time() - t0)
+    else:
+        trainer = build(TOTAL_STEPS)
+        import jax
+
+        trainer.restore(str(RUN / "checkpoints"))
+        resumed = int(jax.device_get(trainer.state["step"]))
+        log.info("phase 2 resumed at step %d", resumed)
+        assert resumed == PHASE1_STEPS, resumed
+        t0 = time.time()
+        trainer.fit()
+        log.info("phase 2 done: %d->%d steps in %.0fs", resumed,
+                 TOTAL_STEPS, time.time() - t0)
+
+    # final quality probe on the test split
+    import jax
+    import jax.numpy as jnp
+
+    from open_universe_tpu.metrics.bss import si_sdr
+
+    params = trainer._eval_params()
+    batch = next(iter(trainer.dm.test_dataloader()))
+    mix = jnp.asarray(batch["noisy"])
+    clean = np.asarray(batch["clean"])[:, :, 0]
+    est = np.asarray(trainer._bucketed_enhance(
+        params, mix, jax.random.key(9)))[:, :, 0]
+    scores = [si_sdr(clean[i], est[i]) for i in range(est.shape[0])]
+    noisy_scores = [si_sdr(clean[i], np.asarray(mix)[i, :, 0])
+                    for i in range(mix.shape[0])]
+    log.info("test SI-SDR: noisy %.2f -> enhanced %.2f",
+             float(np.mean(noisy_scores)), float(np.mean(scores)))
+
+
+if __name__ == "__main__":
+    main()

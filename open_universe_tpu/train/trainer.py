@@ -139,9 +139,14 @@ class Trainer:
                                                 every_k_schedule=accum)
             self.state = init_train_state(model, params, self.tx,
                                           disc_tx=self.tx_disc)
+            # donate_argnums: the old state buffers are dead after the step
+            # (checkpointing saves a jax.device_get host copy first), and
+            # double-buffering params+opt+EMA at batch 40 pushed XLA into
+            # rematerialization fusions on v5e.
             self._step_fn = jax.jit(make_gan_train_step(
                 model, self.tx, self.tx_disc,
-                grad_clip_vals=opt.get("grad_clip_vals", {})))
+                grad_clip_vals=opt.get("grad_clip_vals", {})),
+                donate_argnums=(0,))
         else:
             opt = dict(model.opt_kwargs or {})
             sched = _build_schedule(model.schedule_kwargs, opt.get("lr", 2e-4),
@@ -161,7 +166,8 @@ class Trainer:
             self.state = init_train_state(model, params, self.tx,
                                           clipper=clipper)
             self._step_fn = jax.jit(make_train_step(model, self.tx,
-                                                    clipper=clipper))
+                                                    clipper=clipper),
+                                    donate_argnums=(0,))
 
         # dp: params replicated, batch sharded (GSPMD emits the grad psum).
         # tp>1: wide weight matrices/kernels additionally sharded on their
@@ -402,6 +408,26 @@ class Trainer:
             "number", 0)), {k: round(v, 4) for k, v in summary.items()})
         return summary
 
+    def _tb_audio(self, tag, samples, step, fs):
+        """tensorboardX.add_audio builds its wav via soundfile, which is not
+        in this image — encode 16-bit PCM with scipy and emit the Audio
+        summary proto directly."""
+        import io
+
+        from scipy.io import wavfile
+        from tensorboardX.proto.summary_pb2 import Summary
+
+        x = np.clip(np.asarray(samples, dtype=np.float32).reshape(-1),
+                    -1.0, 1.0)
+        buf = io.BytesIO()
+        wavfile.write(buf, fs, (x * 32767.0).astype(np.int16))
+        audio = Summary.Audio(sample_rate=fs, num_channels=1,
+                              length_frames=x.shape[0],
+                              encoded_audio_string=buf.getvalue(),
+                              content_type="audio/wav")
+        self.tb._get_file_writer().add_summary(
+            Summary(value=[Summary.Value(tag=tag, audio=audio)]), step)
+
     def _log_audio_samples(self, step, batch_idx, mix, tgt, est):
         """Loudness-matched validation audio in TensorBoard
         (reference universe.py:662-704)."""
@@ -416,17 +442,13 @@ class Trainer:
             mix_norm = mix_i * 0.95 / max(np.max(np.abs(mix_i)), 1e-9)
             mix_loud = loudness(mix_i, fs)
             if not self._first_val_done:
-                self.tb.add_audio(f"mix/{idx}", mix_norm[:, None], step,
-                                  sample_rate=fs)
+                self._tb_audio(f"mix/{idx}", mix_norm, step, fs)
                 tgt_loud = loudness(tgt[idx, 0], fs)
                 gain = 10.0 ** ((mix_loud - tgt_loud) / 20.0)
-                self.tb.add_audio(f"target/{idx}",
-                                  (tgt[idx, 0] * gain)[:, None], step,
-                                  sample_rate=fs)
+                self._tb_audio(f"target/{idx}", tgt[idx, 0] * gain, step, fs)
             est_loud = loudness(est[idx, 0], fs)
             gain = 10.0 ** ((mix_loud - est_loud) / 20.0)
-            self.tb.add_audio(f"enh/{idx}", (est[idx, 0] * gain)[:, None],
-                              step, sample_rate=fs)
+            self._tb_audio(f"enh/{idx}", est[idx, 0] * gain, step, fs)
         self._first_val_done = True
 
     # ------------------------------------------------------------------

@@ -75,7 +75,10 @@ def test_adaptive_threads_through_jitted_step(rng, tmp_path):
     key = jax.random.key(0)
 
     skew = {"pr_cum": jnp.asarray(SKEW_PR_CUM), "bins": jnp.asarray(SKEW_BINS)}
-    _, m_skew = trainer._step_fn(trainer.state, batch, key, skew)
+    # _step_fn donates its state argument — pass a copy so trainer.state
+    # survives for the second invocation.
+    _, m_skew = trainer._step_fn(jax.tree.map(jnp.copy, trainer.state),
+                                 batch, key, skew)
     uniform = {"pr_cum": trainer.pr_cum, "bins": trainer.val_bins}
     _, m_uni = trainer._step_fn(trainer.state, batch, key, uniform)
     assert float(m_skew["train/time_mean"]) > 0.78

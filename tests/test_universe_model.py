@@ -47,7 +47,7 @@ def test_training_losses_finite():
     loss, metrics = model.training_losses(params, jax.random.key(2), mix, target)
     assert np.isfinite(float(loss))
     assert set(metrics) == {"train/loss", "train/score", "train/signal",
-                            "train/latent"}
+                            "train/latent", "train/time_mean"}
     for v in metrics.values():
         assert np.isfinite(float(v))
 
