@@ -123,13 +123,15 @@ def convert_state_dict(model: Module, state_dict: Dict[str, Any],
             continue
         mod_path, _, leaf = key_n.rpartition(".")
         module = index.get(mod_path)
-        if module is None and mod_path.endswith(".conv"):
-            # LoRA-wrapped layer: torch nests the original conv under .conv
-            parent = index.get(mod_path[: -len(".conv")])
-            from ..nn.lora import LORA_TYPES
+        for nest in (".conv", ".linear"):
+            # LoRA-wrapped layer: torch nests the original module under
+            # .conv (LoraConv1d/LoraConvTranspose1d) or .linear (LoraLinear)
+            if module is None and mod_path.endswith(nest):
+                parent = index.get(mod_path[: -len(nest)])
+                from ..nn.lora import LORA_TYPES
 
-            if isinstance(parent, LORA_TYPES):
-                module = parent
+                if isinstance(parent, LORA_TYPES):
+                    module = parent
         if module is None:
             skipped.append(key)
             if strict:
@@ -259,12 +261,13 @@ def to_torch_state_dict(model: Module, params: Dict[str, Any],
             else:
                 mod_path, _, leaf = sub.rpartition(".")
                 module = index.get(mod_path)
-                if module is None and mod_path.endswith(".conv"):
-                    from ..nn.lora import LORA_TYPES
+                for nest in (".conv", ".linear"):
+                    if module is None and mod_path.endswith(nest):
+                        from ..nn.lora import LORA_TYPES
 
-                    parent = index.get(mod_path[: -len(".conv")])
-                    if isinstance(parent, LORA_TYPES):
-                        module = parent
+                        parent = index.get(mod_path[: -len(nest)])
+                        if isinstance(parent, LORA_TYPES):
+                            module = parent
                 key = sub
                 if edm and key.startswith("score_model."):
                     key = "_edm_model." + key[len("score_model."):]

@@ -2,8 +2,10 @@
 
 Functionality of the BigVGAN/HiFi-GAN adversarial stack used by UNIVERSE++
 (reference networks/bigvgan/gan.py), re-designed for TPU: NHWC layouts,
-channels-last STFT features, pure-function modules.  Spectral-norm variants
-are not supported (the reference configs never enable them).
+channels-last STFT features, pure-function modules.  use_spectral_norm /
+mrd_use_spectral_norm swap weight norm for spectral norm exactly as the
+reference does (gan.py:27,140-149); see nn/layers.py Conv2d for the
+state-free power-iteration formulation.
 """
 from __future__ import annotations
 
@@ -34,19 +36,20 @@ class DiscriminatorP(Module):
         self.period = period
         d_mult = cfg.get("discriminator_channel_mult", 1)
         in_ch = cfg.get("input_channels", 1)
-        wn = not cfg.get("use_spectral_norm", False)
+        sn = bool(cfg.get("use_spectral_norm", False))
+        norm = dict(weight_norm=not sn, spectral_norm=sn)
         chans = [in_ch, int(32 * d_mult), int(128 * d_mult), int(512 * d_mult),
                  int(1024 * d_mult)]
         convs = []
         for i in range(4):
             convs.append(Conv2d(chans[i], chans[i + 1], (kernel_size, 1),
                                 stride=(stride, 1),
-                                padding=(_get_padding(5, 1), 0), weight_norm=wn))
+                                padding=(_get_padding(5, 1), 0), **norm))
         convs.append(Conv2d(chans[4], int(1024 * d_mult), (kernel_size, 1),
-                            stride=(1, 1), padding=(2, 0), weight_norm=wn))
+                            stride=(1, 1), padding=(2, 0), **norm))
         self.convs = ModuleList(convs)
         self.conv_post = Conv2d(int(1024 * d_mult), 1, (3, 1), padding=(1, 0),
-                                weight_norm=wn)
+                                **norm)
 
     def apply(self, params: Params, x: jax.Array):
         """x: (B, T, C) -> (score (B, S), fmaps list)."""
@@ -108,16 +111,20 @@ class DiscriminatorR(Module):
         self.resolution = list(resolution)  # (n_fft, hop, win)
         d_mult = cfg.get("discriminator_channel_mult", 1)
         in_ch = cfg.get("input_channels", 1)
-        wn = not cfg.get("use_spectral_norm", False)
+        # MRD honors mrd_use_spectral_norm when present (reference
+        # gan.py:140-149), falling back to the shared use_spectral_norm flag
+        sn = bool(cfg.get("mrd_use_spectral_norm",
+                          cfg.get("use_spectral_norm", False)))
+        norm = dict(weight_norm=not sn, spectral_norm=sn)
         c = int(32 * d_mult)
         self.convs = ModuleList([
-            Conv2d(in_ch, c, (3, 9), padding=(1, 4), weight_norm=wn),
-            Conv2d(c, c, (3, 9), stride=(1, 2), padding=(1, 4), weight_norm=wn),
-            Conv2d(c, c, (3, 9), stride=(1, 2), padding=(1, 4), weight_norm=wn),
-            Conv2d(c, c, (3, 9), stride=(1, 2), padding=(1, 4), weight_norm=wn),
-            Conv2d(c, c, (3, 3), padding=(1, 1), weight_norm=wn),
+            Conv2d(in_ch, c, (3, 9), padding=(1, 4), **norm),
+            Conv2d(c, c, (3, 9), stride=(1, 2), padding=(1, 4), **norm),
+            Conv2d(c, c, (3, 9), stride=(1, 2), padding=(1, 4), **norm),
+            Conv2d(c, c, (3, 9), stride=(1, 2), padding=(1, 4), **norm),
+            Conv2d(c, c, (3, 3), padding=(1, 1), **norm),
         ])
-        self.conv_post = Conv2d(c, 1, (3, 3), padding=(1, 1), weight_norm=wn)
+        self.conv_post = Conv2d(c, 1, (3, 3), padding=(1, 1), **norm)
 
     def _spectrogram(self, x: jax.Array) -> jax.Array:
         """x: (B, T, C) -> magnitude (B, F, TT, C) (freq on H, frames on W)."""

@@ -23,9 +23,12 @@ def _uniform(key, shape, bound):
 
 
 def _lora_inner(params):
-    """LoRA-injected nodes nest the base leaves under 'conv' (see nn/lora.py)."""
+    """LoRA-injected nodes nest the base leaves under 'conv' (convs) or
+    'linear' (Linear), mirroring the reference naming (see nn/lora.py)."""
     if "lora_weight_a" in params:
         return params["conv"], True
+    if "lora_linear_a" in params:
+        return params["linear"], True
     return params, False
 
 
@@ -180,7 +183,7 @@ class Linear(Module):
 
     def apply(self, params: Params, x: jax.Array) -> jax.Array:
         w = self.weight(params)
-        if "lora_weight_a" in params:
+        if "lora_linear_a" in params:
             from .lora import lora_delta
 
             w = w + lora_delta(self, params)
@@ -305,16 +308,30 @@ class LayerNorm(Module):
 
 class Conv2d(Module):
     """2-D conv, NHWC layout; weight (KH, KW, Cin, Cout) = torch (Cout,Cin,KH,KW)
-    transposed (2,3,1,0).  weight_norm normalizes per output channel."""
+    transposed (2,3,1,0).  weight_norm normalizes per output channel.
+
+    spectral_norm divides the weight by its largest singular value
+    (torch.nn.utils.spectral_norm semantics, used by the reference BigVGAN
+    discriminators when use_spectral_norm is set — reference
+    networks/bigvgan/gan.py:27).  torch keeps a persistent power-iteration
+    buffer advanced one step per training forward; here the estimate runs
+    ``sn_power_iters`` fresh iterations from a fixed start vector on every
+    call — state-free (pure param pytrees, jit-friendly) and converging to
+    the same sigma (golden-tested vs torch in tests/test_nn_layers.py).
+    Gradients flow through sigma's dependence on the weight; the power
+    vectors are stop_gradient'ed exactly as torch's buffers are."""
 
     def __init__(self, in_channels, out_channels, kernel_size, stride=(1, 1),
-                 padding=(0, 0), bias=True, weight_norm=False):
+                 padding=(0, 0), bias=True, weight_norm=False,
+                 spectral_norm=False, sn_power_iters=8):
         if isinstance(kernel_size, int):
             kernel_size = (kernel_size, kernel_size)
         if isinstance(stride, int):
             stride = (stride, stride)
         if isinstance(padding, int):
             padding = (padding, padding)
+        if weight_norm and spectral_norm:
+            raise ValueError("weight_norm and spectral_norm are exclusive")
         self.in_channels = in_channels
         self.out_channels = out_channels
         self.kernel_size = tuple(kernel_size)
@@ -322,6 +339,8 @@ class Conv2d(Module):
         self.padding = tuple(padding)
         self.use_bias = bias
         self.weight_norm = weight_norm
+        self.spectral_norm = spectral_norm
+        self.sn_power_iters = sn_power_iters
 
     def init(self, key) -> Params:
         kw, kb = jax.random.split(key)
@@ -345,6 +364,22 @@ class Conv2d(Module):
             g = params["weight_g"]
             norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1, 2), keepdims=True))
             return g[None, None, None, :] * v / jnp.maximum(norm, 1e-12)
+        if self.spectral_norm:
+            w = params["weight"]
+            # singular values are invariant to the column permutation between
+            # torch's (Cout, Cin*KH*KW) flattening and this (Cout, KH*KW*Cin)
+            mat = w.reshape(-1, w.shape[-1]).T.astype(jnp.float32)
+            u = jax.random.normal(jax.random.key(0), (mat.shape[0],),
+                                  jnp.float32)
+            for _ in range(self.sn_power_iters):
+                v = mat.T @ u
+                v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+                u = mat @ v
+                u = u / jnp.maximum(jnp.linalg.norm(u), 1e-12)
+            u = jax.lax.stop_gradient(u)
+            v = jax.lax.stop_gradient(v)
+            sigma = u @ (mat @ v)
+            return w / jnp.maximum(sigma, 1e-12).astype(w.dtype)
         return params["weight"]
 
     def apply(self, params: Params, x: jax.Array) -> jax.Array:

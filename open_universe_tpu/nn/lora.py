@@ -1,10 +1,15 @@
 """LoRA as a parameter-tree transform (reference lora/ package).
 
 Instead of monkey-patching modules (torch), injection restructures the
-*parameter pytree*: a lora'd conv/linear node becomes
+*parameter pytree*: a lora'd conv node becomes
 
     {"conv": {original leaves...}, "lora_weight_a": (dim0, r),
      "lora_weight_b": (r, rest)}          # torch LoraConv1d naming/layout
+
+and a lora'd Linear nests under "linear" with lora_linear_a/b leaves,
+mirroring the reference's per-type state-dict naming exactly
+(lora/lora.py: LoraConv1d .conv/lora_weight_*, LoraLinear
+.linear/lora_linear_*) so fine-tuned checkpoints roundtrip.
 
 and the leaf module computes W_eff = W + (alpha/r) * reshape(A @ B) at apply
 time (merged-apply; no extra convolutions).  ``remove`` folds the adapters
@@ -25,6 +30,16 @@ from .module import Module
 LORA_TYPES = (Conv1d, ConvTranspose1d, Linear)
 
 
+def adapter_names(mod) -> tuple:
+    """(nest_key, a_key, b_key) matching the reference state-dict naming:
+    Linear wraps the base module under ``.linear`` with ``lora_linear_*``
+    leaves (reference lora/lora.py:218-229); convs wrap under ``.conv`` with
+    ``lora_weight_*`` (lora.py:54-68)."""
+    if isinstance(mod, Linear):
+        return "linear", "lora_linear_a", "lora_linear_b"
+    return "conv", "lora_weight_a", "lora_weight_b"
+
+
 def _torch_dims(mod) -> tuple:
     """(dim0, rest) of the torch-layout weight for the adapter shapes."""
     if isinstance(mod, Conv1d):
@@ -38,8 +53,9 @@ def _torch_dims(mod) -> tuple:
 
 def lora_delta(mod, params: Dict[str, Any]) -> jax.Array:
     """The (alpha/r) * A @ B update in OUR weight layout."""
-    a = params["lora_weight_a"]
-    b = params["lora_weight_b"]
+    _, a_key, b_key = adapter_names(mod)
+    a = params[a_key]
+    b = params[b_key]
     rank = a.shape[1]
     scale = mod.lora_alpha / rank
     w = (a @ b) * scale  # (dim0, rest) in torch layout
@@ -75,12 +91,17 @@ def inject(module: Module, params: Dict[str, Any], rank: int,
             if min(cin, cout) < rank:
                 return node
             mod.lora_alpha = float(alpha) if alpha is not None else float(rank)
-            return {
-                "conv": node,
-                "lora_weight_a": jnp.zeros((d0, rank), jnp.float32),
-                "lora_weight_b": jax.random.normal(key, (rank, rest),
-                                                   jnp.float32),
-            }
+            nest, a_key, b_key = adapter_names(mod)
+            # init conventions differ per type in the reference: convs zero
+            # A / normal B (lora.py:65-68), Linear normal A / zero B
+            # (lora.py:228-229); either way A@B starts at zero
+            if isinstance(mod, Linear):
+                a = jax.random.normal(key, (d0, rank), jnp.float32)
+                b = jnp.zeros((rank, rest), jnp.float32)
+            else:
+                a = jnp.zeros((d0, rank), jnp.float32)
+                b = jax.random.normal(key, (rank, rest), jnp.float32)
+            return {nest: node, a_key: a, b_key: b}
         out = dict(node) if isinstance(node, dict) else node
         for name, child in mod.children.items():
             if hasattr(child, "named_items"):  # ModuleList/Dict
@@ -103,8 +124,8 @@ def remove(module: Module, params: Dict[str, Any]):
 
     def walk(mod, node):
         if isinstance(mod, LORA_TYPES) and isinstance(node, dict) \
-                and "lora_weight_a" in node:
-            inner = dict(node["conv"])
+                and adapter_names(mod)[1] in node:
+            inner = dict(node[adapter_names(mod)[0]])
             delta = lora_delta(mod, node)
             wkey = "weight_v" if "weight_v" in inner else "weight"
             if wkey == "weight_v":

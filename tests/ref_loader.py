@@ -78,6 +78,13 @@ def load_reference():
     ns.dyn_range_comp = importlib.import_module(
         "open_universe.layers.dyn_range_comp")
     ns.utils = importlib.import_module("open_universe.utils")
+    # adapter classes (torch-only imports); the UniverseLoRA Lightning module
+    # in networks/universe/lora.py is NOT imported (-> huggingface_hub)
+    ns.lora = importlib.import_module("open_universe.lora")
+    # losses/__init__ pulls in phoneme_loss -> transformers; import the
+    # multires module directly under a stub package
+    _stub_package("open_universe.losses", REF_ROOT / "open_universe" / "losses")
+    ns.multires = importlib.import_module("open_universe.losses.multires_stft")
 
     # populate the stub package with the names the reference config
     # ``_target_`` strings resolve through (networks/universe/__init__.py

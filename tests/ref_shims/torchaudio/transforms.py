@@ -49,6 +49,39 @@ class MelSpectrogram(torch.nn.Module):
         return mel.view(shape[:-1] + mel.shape[-2:])
 
 
+class Spectrogram(torch.nn.Module):
+    """torchaudio.transforms.Spectrogram subset as used by the reference
+    MultiResL1SpecLoss (losses/multires_stft.py:65-75): hann window,
+    center=True, pad_mode='constant', power=None (complex output)."""
+
+    def __init__(self, n_fft=400, win_length=None, hop_length=None, pad=0,
+                 window_fn=torch.hann_window, power=2.0, normalized=False,
+                 center=True, pad_mode="reflect", onesided=True):
+        super().__init__()
+        if normalized or pad != 0 or not onesided:
+            raise NotImplementedError
+        self.n_fft = n_fft
+        self.win_length = win_length if win_length is not None else n_fft
+        self.hop_length = (hop_length if hop_length is not None
+                           else self.win_length // 2)
+        self.power = power
+        self.center = center
+        self.pad_mode = pad_mode
+        self.register_buffer("window", window_fn(self.win_length))
+
+    def forward(self, waveform):
+        shape = waveform.size()
+        waveform = waveform.reshape(-1, shape[-1])
+        spec = torch.stft(
+            waveform, n_fft=self.n_fft, hop_length=self.hop_length,
+            win_length=self.win_length, window=self.window,
+            center=self.center, pad_mode=self.pad_mode, normalized=False,
+            onesided=True, return_complex=True)
+        if self.power is not None:
+            spec = spec.abs() ** self.power
+        return spec.view(shape[:-1] + spec.shape[-2:])
+
+
 class Resample(torch.nn.Module):
     """torchaudio.transforms.Resample subset (sinc_interp_hann defaults)."""
 

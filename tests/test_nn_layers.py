@@ -136,3 +136,94 @@ def test_snake_resample_polyphase_reference():
             ref[:, i] = np.einsum("btc,t->bc", xp[:, f * orig : f * orig + taps], kernel[p])
         got = np.asarray(resample(jnp.asarray(x), orig, new))
         np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_spectral_norm_conv2d_matches_torch(rng):
+    """Our state-free power-iteration spectral norm converges to torch's
+    (persistent-buffer) normalization: run the torch module enough training
+    forwards for its u/v buffers to converge, then compare effective
+    weights and outputs (reference gan.py:27 uses
+    torch.nn.utils.spectral_norm on the same conv shapes)."""
+    from open_universe_tpu.nn.layers import Conv2d as JConv2d
+
+    cin, cout, kh, kw = 4, 12, 3, 5
+    tconv = torch.nn.utils.spectral_norm(
+        torch.nn.Conv2d(cin, cout, (kh, kw), padding=(1, 2)),
+        n_power_iterations=1)
+    x = rng.standard_normal((2, cin, 8, 16)).astype(np.float32)
+    tconv.train()
+    with torch.no_grad():
+        for _ in range(200):  # converge the persistent power-iteration pair
+            tconv(torch.from_numpy(x))
+    tconv.eval()
+    with torch.no_grad():
+        ref = tconv(torch.from_numpy(x)).numpy()
+        w_eff_torch = tconv.weight.detach().numpy()
+
+    conv = JConv2d(cin, cout, (kh, kw), padding=(1, 2), spectral_norm=True,
+                   sn_power_iters=200)
+    params = {
+        "weight": jnp.asarray(
+            tconv.weight_orig.detach().numpy().transpose(2, 3, 1, 0)),
+        "bias": jnp.asarray(tconv.bias.detach().numpy()),
+    }
+    w_eff = np.asarray(conv.weight(params)).transpose(3, 2, 0, 1)
+    np.testing.assert_allclose(w_eff, w_eff_torch, atol=1e-5)
+    y = conv(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(y).transpose(0, 3, 1, 2), ref,
+                               atol=2e-5)
+
+
+def test_spectral_norm_unit_sigma_and_grads(rng):
+    """The normalized weight has top singular value ~1 (any scale of the
+    raw weight), and gradients through the normalization are finite."""
+    from open_universe_tpu.nn.layers import Conv2d as JConv2d
+
+    conv = JConv2d(3, 16, (5, 1), spectral_norm=True)
+    params = conv.init(jax.random.key(0))
+    params["weight"] = params["weight"] * 37.0  # scale must not matter
+    w = np.asarray(conv.weight(params))
+    sigma = np.linalg.svd(w.reshape(-1, w.shape[-1]).T, compute_uv=False)[0]
+    np.testing.assert_allclose(sigma, 1.0, atol=1e-2)  # default iters
+
+    conv50 = JConv2d(3, 16, (5, 1), spectral_norm=True, sn_power_iters=50)
+    w50 = np.asarray(conv50.weight(params))
+    sigma50 = np.linalg.svd(w50.reshape(-1, w50.shape[-1]).T,
+                            compute_uv=False)[0]
+    np.testing.assert_allclose(sigma50, 1.0, atol=1e-3)  # tightens
+
+    def loss(p):
+        x = jnp.ones((1, 32, 4, 3))
+        return jnp.sum(conv(p, x) ** 2)
+
+    g = jax.grad(loss)(params)
+    assert all(np.isfinite(np.asarray(v)).all() for v in jax.tree.leaves(g))
+
+
+def test_spectral_norm_discriminators_forward(rng):
+    """MPD/MRD build and run with use_spectral_norm / the MRD override
+    (reference gan.py:27,140-149); no weight_g params appear."""
+    from open_universe_tpu.models.discriminators import (
+        MultiPeriodDiscriminator, MultiResolutionDiscriminator)
+
+    cfg = {"use_spectral_norm": True, "discriminator_channel_mult": 0.25}
+    y = jnp.asarray(rng.standard_normal((2, 400, 1)).astype(np.float32))
+    yh = jnp.asarray(rng.standard_normal((2, 400, 1)).astype(np.float32))
+
+    mpd = MultiPeriodDiscriminator(cfg)
+    p = mpd.init(jax.random.key(0))
+    names = [k for k in jax.tree_util.tree_flatten_with_path(p)[0]]
+    assert not any("weight_g" in str(k) for k in names)
+    rs, gs, fr, fg = mpd(p, y, yh)
+    assert len(rs) == 5 and all(np.isfinite(np.asarray(s)).all() for s in rs)
+
+    # MRD override flips spectral norm off for the resolution discriminators
+    cfg2 = {"use_spectral_norm": True, "mrd_use_spectral_norm": False,
+            "discriminator_channel_mult": 0.25,
+            "resolutions": [[128, 16, 64], [256, 32, 128], [64, 8, 32]]}
+    mrd = MultiResolutionDiscriminator(cfg2)
+    p2 = mrd.init(jax.random.key(1))
+    names2 = jax.tree_util.tree_flatten_with_path(p2)[0]
+    assert any("weight_g" in str(k) for k in names2)
+    rs2, *_ = mrd(p2, y, yh)
+    assert len(rs2) == 3 and all(np.isfinite(np.asarray(s)).all() for s in rs2)
