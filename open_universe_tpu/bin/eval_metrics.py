@@ -136,7 +136,11 @@ def main(argv=None):
     parser.add_argument(
         "--workers", type=int, default=1,
         help="parallel worker processes for the per-file metric computation "
-        "(host-side CPU workload; the reference runs sequentially)")
+        "(host-side CPU workload; the reference runs sequentially). "
+        "Clamped to cpu_count and ~1 worker per 20 files — each process "
+        "pays seconds of jax import/jit startup before its first file")
+    parser.add_argument("--force-workers", action="store_true",
+                        help=argparse.SUPPRESS)  # tests: bypass the clamp
     parser.add_argument(
         "--device", choices=("cpu", "default"), default="cpu",
         help="jax platform for the jax-based metrics (lsd/stoi/si-sdr). "
@@ -168,7 +172,23 @@ def main(argv=None):
     summary_path = result_dir / f"{ds_name}_summary.json"
     results, paths = prepare(args.ref_path, deg_path, results_path)
 
-    if args.workers > 1:
+    n_workers = args.workers
+    if n_workers > 1 and not args.force_workers:
+        # each spawned worker pays ~4 s of jax import plus per-process jit
+        # compiles of the jax metrics, so a worker only pays off with >~20
+        # files to amortize over and a real core to run on (measured on a
+        # single-core host: 16 files / 4 metrics took 6.5 s sequential vs
+        # 59 s with 8 workers) — clamp instead of honoring a
+        # counterproductive request
+        import os as _os
+
+        n_workers = max(1, min(n_workers, len(results) // 20,
+                               _os.cpu_count() or 1))
+        if n_workers < args.workers:
+            print(f"note: clamping --workers {args.workers} -> {n_workers} "
+                  f"({len(results)} files, {_os.cpu_count()} cpus); "
+                  "per-process startup would dominate", file=sys.stderr)
+    if n_workers > 1:
         # per-file metrics are independent: fan out over processes (spawn,
         # so no forked accelerator backend), stream results back for the
         # same incremental saves as the sequential path
@@ -178,7 +198,7 @@ def main(argv=None):
         tasks = [(lbl, paths[lbl], set(results[lbl].keys()))
                  for lbl in sorted(results)]
         with ProcessPoolExecutor(
-                max_workers=args.workers, mp_context=mp.get_context("spawn"),
+                max_workers=n_workers, mp_context=mp.get_context("spawn"),
                 initializer=_worker_init,
                 initargs=(args.metrics, args.device)) as ex:
             futures = [ex.submit(_worker_eval, t) for t in tasks]

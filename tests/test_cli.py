@@ -161,6 +161,7 @@ def test_eval_metrics_parallel_and_mixed_containers(tmp_path, rng):
     par_dir.mkdir()
     rc = eval_main([str(deg_dir), "--ref_path", str(ref_dir),
                     "--result_dir", str(par_dir), "--workers", "2",
+                    "--force-workers",  # 3 files would be clamped sequential
                     "--metrics", "si-sdr", "lsd"])
     assert rc == 0
 
