@@ -44,6 +44,8 @@ class EnhancementBaseModel(Module):
             self.losses_weights["loss"] = 1.0
         else:
             for name, cfg in loss_cfg.items():
+                if cfg is None:  # <name>=null disables a configured loss
+                    continue
                 if isinstance(cfg, dict) and "_target_" in cfg:
                     self.losses_func[name] = instantiate(cfg)
                     self.losses_weights[name] = 1.0

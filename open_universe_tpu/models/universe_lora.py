@@ -89,6 +89,11 @@ class UniverseLoRA(Module):
         from ..configs.registry import instantiate
 
         for name, cfg in (losses or {}).items():
+            if cfg is None:
+                # `model.losses.<name>=null` disables a configured loss (our
+                # composer has no hydra `~key` deletion); useful to drop the
+                # HF-gated phoneme loss offline
+                continue
             if isinstance(cfg, dict) and "_target_" in cfg:
                 self.losses_func[name] = instantiate(cfg)
                 self.losses_weights[name] = 1.0

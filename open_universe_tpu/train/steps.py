@@ -63,8 +63,14 @@ def _guard_non_finite(ok, new_state, old_state, metrics):
 
 def make_train_step(model: Universe, tx, clipper=None):
     """Score-matching training step (plain UNIVERSE, universe.py:544-586)."""
+    import inspect
+
     ema_decay = model.train_kwargs.get("ema_decay", 0.0)
     nan_guard = model.train_kwargs.get("nan_guard", False)
+    # only the diffusion Universe supports adaptive time sampling;
+    # UniverseLoRA / EnhancementBaseModel take no pr_cum/bins
+    adaptive_ok = "pr_cum" in inspect.signature(
+        model.training_losses).parameters
 
     def train_step(state, batch, key, adaptive=None):
         params = state["params"]
@@ -72,6 +78,9 @@ def make_train_step(model: Universe, tx, clipper=None):
         bins = None if adaptive is None else adaptive["bins"]
 
         def loss_fn(p):
+            if not adaptive_ok:
+                return model.training_losses(p, key, batch["noisy"],
+                                             batch["clean"])
             return model.training_losses(p, key, batch["noisy"], batch["clean"],
                                          pr_cum=pr_cum, bins=bins)
 

@@ -136,3 +136,43 @@ def test_universe_lora_merge_matches_adapter_forward():
     out_merged = model.enhance(merged, mix, key=jax.random.key(3), n_steps=2)
     np.testing.assert_allclose(np.asarray(out_adapter), np.asarray(out_merged),
                                atol=1e-4)
+
+
+def test_make_train_step_with_lora_and_null_loss():
+    """Regression: the generic train step passes pr_cum/bins only to models
+    whose training_losses accepts them (UniverseLoRA's does not — found by
+    the on-chip LoRA fine-tune run), and a ``<name>: null`` losses entry
+    disables that loss instead of crashing (the CLI analog of hydra's
+    ``~model.losses.<name>`` deletion)."""
+    import optax
+
+    from open_universe_tpu.train.steps import make_train_step
+
+    model, base_params = _base()
+    lora_model = UniverseLoRA(
+        model=model, fs=16000, base_params=base_params,
+        losses={"multires_l1": {
+            "weight": 0.1,
+            "kwargs": {"_target_": "open_universe_tpu.losses.MultiResL1SpecLoss",
+                       "window_sz": [256], "time_domain_weight": 0.0}},
+                "phonemeloss": None},  # e.g. HF-gated loss disabled offline
+        training={"audio_len": 0.05, "ema_decay": 0.0},
+        diffusion={"n_steps": 2, "epsilon": 1.3},
+        n_steps_backprop=1, lora_rank=2, lora_alpha=4.0,
+    )
+    assert "phonemeloss" not in lora_model.losses_func
+    params = lora_model.init(jax.random.key(0))
+    tx = optax.adam(1e-4)
+    state = {"params": params, "opt_state": tx.init(params),
+             "step": jnp.zeros((), jnp.int32)}
+    step = make_train_step(lora_model, tx)
+    batch = {
+        "noisy": jax.random.normal(jax.random.key(1), (2, 800, 1)) * 0.1,
+        "clean": jax.random.normal(jax.random.key(2), (2, 800, 1)) * 0.1,
+    }
+    # both call shapes must work: no adaptive dict, and one passed by the
+    # Trainer (ignored by models without adaptive time sampling)
+    adaptive = {"pr_cum": jnp.linspace(0.2, 1.0, 5), "bins": jnp.linspace(0, 1, 6)}
+    for adapt in (None, adaptive):
+        new_state, metrics = step(state, batch, jax.random.key(3), adapt)
+        assert np.isfinite(float(metrics["train/main_loss"]))

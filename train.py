@@ -38,6 +38,14 @@ def main(argv=None):
     import numpy as np
     import jax
 
+    # platform=cpu (or tpu/...) forces the jax backend — the JAX_PLATFORMS
+    # env var is not enough on hosts whose sitecustomize pins it, and
+    # jax.config.update only works before the first backend use, so this
+    # must run here, before any jax array/device call below
+    platform = cfg.get("platform")
+    if platform:
+        jax.config.update("jax_platforms", str(platform))
+
     # multi-host pods: initialize the distributed runtime before any backend
     # use.  With bare `multihost: true`, jax.distributed.initialize()
     # autodetects the cluster (Cloud TPU metadata / Slurm / GKE).  For a
