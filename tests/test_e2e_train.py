@@ -128,3 +128,44 @@ def test_trainer_fit_universe_gan(tmp_path):
     state = trainer.fit()
     assert int(jax.device_get(state["step"])) == 2
     assert "disc_opt_state" in state
+
+
+def test_trainer_fit_universepp_24k(tmp_path):
+    """The 24 kHz recipe (rate [2,3,5,8], 128 mels — shrunk here) trains
+    end-to-end through the same Trainer (reference
+    config/experiment/universepp_vb_24k.yaml)."""
+    _make_dataset(tmp_path / "data", n_train=4, n_val=1, n_test=1, fs=24000,
+                  dur=0.15)
+
+    from open_universe_tpu.configs.registry import instantiate
+    from open_universe_tpu.configs.resolve import compose
+    from open_universe_tpu.parallel.mesh import make_mesh
+    from open_universe_tpu.train.trainer import Trainer
+
+    overrides = [
+        "experiment=universepp_vb_24k",
+        f"datamodule.datasets.vb-train-24k.audio_path={tmp_path/'data'}",
+        "datamodule.datasets.vb-train-24k.audio_len=0.1",
+        "datamodule.train.dl_opts.batch_size=2",
+        "model.score_model.n_channels=4",
+        "model.score_model.noise_cond_dim=32",
+        "model.condition_model.n_mels=16",
+        "model.losses.multi_period_discriminator.mpd_reshapes=[2,3]",
+        "model.losses.multi_period_discriminator.discriminator_channel_mult=0.125",
+        "model.losses.multi_resolution_discriminator.resolutions="
+        "[[128,30,75],[256,60,150],[64,12,30]]",
+        "model.losses.multi_resolution_discriminator.discriminator_channel_mult=0.125",
+    ]
+    cfg = compose("config", overrides)
+    dm = instantiate(cfg["datamodule"])
+    model = instantiate(cfg["model"])
+    assert model.fs == 24000
+    # the 24k score net downsamples by 2*3*5*8 = 240
+    assert int(np.prod(model.score_model.rate_factors)) == 240
+
+    trainer = Trainer(model, dm, tmp_path / "run", max_steps=2,
+                      val_check_interval=100, checkpoint_every=100,
+                      log_every=1, max_val_batches=0, seed=0,
+                      mesh=make_mesh(dp=2), config=cfg)
+    state = trainer.fit()
+    assert int(jax.device_get(state["step"])) == 2
