@@ -193,3 +193,53 @@ def test_enhance_cli_chunked(tmp_path, tiny_ckpt, rng):
     enh, fs2 = load_audio(out_dir / "long.wav")
     assert fs2 == fs and enh.shape[-1] == t
     assert np.isfinite(enh).all()
+
+
+def test_train_cli_end_to_end(tmp_path, rng):
+    """train.py main: compose -> fit -> checkpoint -> test-set eval, with
+    platform=cpu (reference train.py surface incl. trainer.test,
+    reference train.py:105-119)."""
+    fs = 16000
+    data = tmp_path / "data"
+    for split, n in (("train", 4), ("val", 1), ("test", 2)):
+        for sub in ("clean", "noisy"):
+            (data / split / sub).mkdir(parents=True)
+        for i in range(n):
+            t = int(0.25 * fs)
+            clean = (0.1 * np.sin(2 * np.pi * (220 + 40 * i)
+                                  * np.arange(t) / fs)).astype(np.float32)
+            noise = 0.05 * rng.standard_normal(t).astype(np.float32)
+            save_audio(data / split / "clean" / f"p{i}.wav", clean, fs)
+            save_audio(data / split / "noisy" / f"p{i}.wav", clean + noise, fs)
+
+    import train as train_mod
+
+    train_mod.main([
+        "experiment=universepp_vb_16k", "platform=cpu",
+        f"path.exp_root={tmp_path/'exp'}",
+        f"datamodule.datasets.vb-train-16k.audio_path={data}",
+        "datamodule.datasets.vb-train-16k.audio_len=0.2",
+        "datamodule.train.dl_opts.batch_size=2",
+        "model.score_model.n_channels=4",
+        "model.score_model.noise_cond_dim=32",
+        "model.condition_model.n_mels=16",
+        "model.losses.multi_period_discriminator.mpd_reshapes=[2,3]",
+        "model.losses.multi_period_discriminator.discriminator_channel_mult=0.125",
+        "model.losses.multi_resolution_discriminator.resolutions="
+        "[[128,30,75],[256,60,150],[64,12,30]]",
+        "model.losses.multi_resolution_discriminator.discriminator_channel_mult=0.125",
+        "model.diffusion.n_steps=2",
+        "trainer.mesh_dp=2",  # conftest exposes 8 virtual devices; batch is 2
+        "trainer.max_steps=1", "trainer.val_check_interval=100",
+        "trainer.checkpoint_every=1", "trainer.log_every=1",
+        "trainer.max_val_batches=0",
+        "test=true",
+    ])
+    runs = list((tmp_path / "exp" / "universepp_vb_16k").iterdir())
+    assert len(runs) == 1
+    run = runs[0]
+    assert (run / "config.yaml").exists()
+    assert (run / "checkpoints" / "last.json").exists()
+    with open(run / "test_summary.json") as f:
+        summary = json.load(f)
+    assert summary["number"] == 2.0

@@ -44,7 +44,13 @@ def main(argv=None):
     # must run here, before any jax array/device call below
     platform = cfg.get("platform")
     if platform:
-        jax.config.update("jax_platforms", str(platform))
+        try:
+            jax.config.update("jax_platforms", str(platform))
+        except RuntimeError:
+            # backend already initialized (e.g. under pytest); only fatal if
+            # it initialized to something other than what was asked for
+            if jax.default_backend() != str(platform):
+                raise
 
     # multi-host pods: initialize the distributed runtime before any backend
     # use.  With bare `multihost: true`, jax.distributed.initialize()
