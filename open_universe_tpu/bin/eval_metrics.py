@@ -59,14 +59,26 @@ def prepare(ref_path, deg_path, results_path):
             results = json.load(f)
     # the reference collects *.wav only (reference bin/eval_metrics.py:86);
     # we also accept the other containers the enhance CLI can emit
-    paths = {p.stem: {"deg": p, "ref": None}
-             for ext in _AUDIO_EXTS for p in deg_path.rglob(f"*{ext}")}
+    paths = {}
+    for ext in _AUDIO_EXTS:
+        for p in deg_path.rglob(f"*{ext}"):
+            if p.stem in paths:
+                # results are keyed by stem; two containers with the same
+                # stem would silently shadow each other
+                print(f"warning: duplicate stem {p.stem!r}: keeping "
+                      f"{paths[p.stem]['deg'].name}, ignoring {p.name}",
+                      file=sys.stderr)
+                continue
+            paths[p.stem] = {"deg": p, "ref": None}
     if ref_path is not None:
-        for label in paths:
-            for ext in _AUDIO_EXTS:
+        for label, pd in paths.items():
+            # prefer a reference in the same container as the degraded file
+            exts = [pd["deg"].suffix] + [e for e in _AUDIO_EXTS
+                                         if e != pd["deg"].suffix]
+            for ext in exts:
                 rp = ref_path / f"{label}{ext}"
                 if rp.exists():
-                    paths[label]["ref"] = rp
+                    pd["ref"] = rp
                     break
     missing = [lbl for lbl in results if lbl not in paths]
     if missing:
@@ -188,6 +200,13 @@ def main(argv=None):
             print(f"note: clamping --workers {args.workers} -> {n_workers} "
                   f"({len(results)} files, {_os.cpu_count()} cpus); "
                   "per-process startup would dominate", file=sys.stderr)
+    if n_workers > 1 and args.device != "cpu":
+        # N processes grabbing the same accelerator would contend (and on a
+        # tunneled TPU, wedge the backend); per-file metrics are a CPU
+        # workload anyway
+        print("note: --workers > 1 forces --device cpu in the workers",
+              file=sys.stderr)
+        args.device = "cpu"
     if n_workers > 1:
         # per-file metrics are independent: fan out over processes (spawn,
         # so no forked accelerator backend), stream results back for the

@@ -335,7 +335,10 @@ def decode_flac(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
 
     Dispatches to the native C++ decoder (open_universe_tpu/native) when it
     is available; the pure-Python path below is the reference implementation
-    and fallback (tests assert sample-for-sample agreement).
+    and fallback (tests assert sample-for-sample agreement).  Malformed
+    input raises ValueError from either path — the Python parser's internal
+    EOFError/KeyError/IndexError/OverflowError are normalized here so the
+    public contract does not depend on which decoder ran.
     """
     with open(path, "rb") as f:
         data = f.read()
@@ -345,7 +348,11 @@ def decode_flac(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
         samples, rate, bps = flac_decode_native(data)
         scale = float(1 << (bps - 1))
         return samples.astype(np.float32) / scale, rate
-    return _decode_flac_python(data, path)
+    try:
+        return _decode_flac_python(data, path)
+    except (EOFError, KeyError, IndexError, OverflowError) as e:
+        raise ValueError(
+            f"{path}: malformed flac stream ({type(e).__name__}: {e})") from e
 
 
 def _decode_flac_python(data: bytes, path="<bytes>") -> Tuple[np.ndarray, int]:
@@ -431,6 +438,10 @@ def _decode_flac_python(data: bytes, path="<bytes>") -> Tuple[np.ndarray, int]:
             chans = [left, left - side]
         else:
             raise ValueError(f"flac: reserved channel assignment {ch_code}")
+        if len(chans) != channels:
+            # native decoder rejects this too; without the check a frame
+            # contradicting STREAMINFO silently changes the channel count
+            raise ValueError("flac: channel count mismatch")
 
         bits.align()
         frame_len = bits.pos // 8
@@ -598,13 +609,13 @@ def encode_flac(path: Union[str, Path], audio: np.ndarray, fs: int,
     _SS_CODES = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}
     if bps not in _SS_CODES:
         raise ValueError(f"unsupported bits-per-sample {bps}")
+    mode = stereo_mode if nch == 2 else "independent"
+    if mode == "auto":
+        mode = "left_side"
 
     from ..native import get_flac_lib
     if get_flac_lib() is not None:
         from ..native import flac_encode_native
-        mode = stereo_mode if nch == 2 else "independent"
-        if mode == "auto":
-            mode = "left_side"
         data = flac_encode_native(samples, fs, bps, block_size, mode)
         with open(path, "wb") as f:
             f.write(data)
@@ -629,9 +640,8 @@ def encode_flac(path: Union[str, Path], audio: np.ndarray, fs: int,
     _SR_CODES = {88200: 1, 176400: 2, 192000: 3, 8000: 4, 16000: 5,
                  22050: 6, 24000: 7, 32000: 8, 44100: 9, 48000: 10, 96000: 11}
     _BS_CODES = {v: k for k, v in _BLOCKSIZE_TABLE.items()}
-    _SS_CODES = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}
-    if bps not in _SS_CODES:
-        raise ValueError(f"unsupported bits-per-sample {bps}")
+    ch_code = {"independent": nch - 1, "left_side": 8,
+               "right_side": 9, "mid_side": 10}[mode]
 
     frame_idx = 0
     for start in range(0, max(t, 1), block_size):
@@ -645,12 +655,6 @@ def encode_flac(path: Union[str, Path], audio: np.ndarray, fs: int,
         w.write(0, 1)  # fixed blocksize stream
         bs_code = _BS_CODES.get(n, 7)
         sr_code = _SR_CODES.get(fs, 14)
-
-        mode = stereo_mode if nch == 2 else "independent"
-        if mode == "auto":
-            mode = "left_side"
-        ch_code = {"independent": nch - 1, "left_side": 8,
-                   "right_side": 9, "mid_side": 10}[mode]
         w.write(bs_code, 4)
         w.write(sr_code, 4)
         w.write(ch_code, 4)

@@ -105,8 +105,11 @@ def get_flac_lib() -> Optional[ctypes.CDLL]:
 def flac_decode_native(data: bytes) -> Tuple[np.ndarray, int, int]:
     """Decode FLAC bytes -> (samples int32 (channels, T), rate, bps).
 
-    Raises ValueError on malformed input (same conditions as the Python
-    decoder in data/codecs.py).
+    Raises ValueError on malformed input.  The pure-Python parser rejects
+    the same streams but surfaces mixed exception types internally
+    (EOFError/KeyError/...); ``data.codecs.decode_flac`` normalizes both
+    paths to ValueError — use that entry point for a decoder-independent
+    contract.
     """
     lib = get_flac_lib()
     if lib is None:

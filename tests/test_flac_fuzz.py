@@ -388,3 +388,15 @@ def test_byte_corruption_fuzz(tmp_path):
                     rng.integers(0, 256))
         accepted += _agree(bytes(data), f"corruption trial {trial}")
     assert accepted < 300  # corruption must actually break some streams
+
+
+def test_channel_count_mismatch_rejected():
+    # STREAMINFO declares 2 channels but the frame carries 1 (ch_code=0):
+    # both decoders must reject rather than silently change channel count
+    def sub(w):
+        w.write(0, 1)
+        w.write(0, 6)   # constant
+        w.write(0, 1)
+        w.write_signed(100, 16)
+
+    both_reject(make_stream(64, sub, nch=2, ch_code=0), match="channel")

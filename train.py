@@ -44,13 +44,15 @@ def main(argv=None):
     # must run here, before any jax array/device call below
     platform = cfg.get("platform")
     if platform:
-        try:
-            jax.config.update("jax_platforms", str(platform))
-        except RuntimeError:
-            # backend already initialized (e.g. under pytest); only fatal if
-            # it initialized to something other than what was asked for
-            if jax.default_backend() != str(platform):
-                raise
+        # on jax 0.9 this silently no-ops if a backend is already
+        # initialized, so verify the effective backend afterwards instead of
+        # relying on an exception
+        jax.config.update("jax_platforms", str(platform))
+        if jax.default_backend() != str(platform):
+            raise RuntimeError(
+                f"platform={platform} requested but the jax backend already "
+                f"initialized to {jax.default_backend()!r}; set it before "
+                "any jax array/device use (or launch a fresh process)")
 
     # multi-host pods: initialize the distributed runtime before any backend
     # use.  With bare `multihost: true`, jax.distributed.initialize()
