@@ -50,14 +50,20 @@ def main():
         return model.enhance(params, mix, key=key, n_steps=args.n_steps,
                              compute_dtype=cdt)
 
+    # On the axon tunnel block_until_ready() does not reliably block
+    # (CLAUDE.md); force execution by fetching a device-side scalar reduce —
+    # executions on one device are serialized in launch order, so its 4-byte
+    # result is only available once every prior iteration has run.
+    _sync = jax.jit(lambda o: jnp.sum(o[-1]))
+
     # compile + warmup
     out = run(params, mix)
-    out.block_until_ready()
+    float(jax.device_get(_sync(out)))
 
     start = time.perf_counter()
     for _ in range(args.iters):
         out = run(params, mix)
-    out.block_until_ready()
+    float(jax.device_get(_sync(out)))
     elapsed = (time.perf_counter() - start) / args.iters
 
     audio_sec = args.batch * args.seconds

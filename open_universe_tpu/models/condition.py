@@ -84,26 +84,32 @@ class MelAdapter(Module):
         self.conv_block = ConvBlock(output_channels, weight_norm=weight_norm)
 
     def compute_mel_spec(self, x: jax.Array) -> jax.Array:
-        """x: (B, T, C) waveform -> (B, frames, n_mels), frame-energy normed.
+        """x: (B, T, C) waveform -> (B, frames, n_mels) for C == 1, else
+        (B, C, frames, n_mels).
 
-        Multi-channel inputs are flattened into time (matching the reference,
-        which feeds (B, C*T) through its mel transform via ds_factor scaling).
+        Each channel is mel'd and frame-energy-normalized independently —
+        the reference's torchaudio transform batches the channel dim the
+        same way (condition.py:92-107), and the with_noise_target latent
+        loss feeds a 2-channel target through here (universe.py:511-516).
         """
         b, t, c = x.shape
         dtype = x.dtype
         # the STFT itself always runs in fp32 (XLA FFT precision)
-        xw = jnp.swapaxes(x, 1, 2).reshape(b, c * t).astype(jnp.float32)
+        xw = jnp.swapaxes(x, 1, 2).reshape(b * c, t).astype(jnp.float32)
         r = xw.shape[-1] % self.ds_factor
         pad = self.ds_factor - r if r != 0 else 0
         xw = jnp.pad(xw, ((0, 0), (self.pad_left, pad + self.pad_right)))
-        spec = spectrogram(xw, self.n_fft, self.ds_factor, power=2.0)  # (B,F,freq)
+        spec = spectrogram(xw, self.n_fft, self.ds_factor, power=2.0)  # (BC,F,freq)
         fb = mel_filterbank(self.n_fft // 2 + 1, self.n_mels,
                             self.CLAIMED_SAMPLE_RATE)
-        mel = jnp.matmul(spec, fb, preferred_element_type=jnp.float32)  # (B,F,mels)
-        # unit average frame energy (condition.py:105-106)
+        mel = jnp.matmul(spec, fb, preferred_element_type=jnp.float32)  # (BC,F,mels)
+        # unit average frame energy per channel (condition.py:105-106)
         norm = jnp.sqrt(jnp.mean(jnp.sum(mel * mel, axis=-1, keepdims=True),
                                  axis=-2, keepdims=True))
-        return (mel / jnp.maximum(norm, 1e-5)).astype(dtype)
+        mel = (mel / jnp.maximum(norm, 1e-5)).astype(dtype)
+        if c == 1:
+            return mel
+        return mel.reshape(b, c, *mel.shape[1:])
 
     def apply(self, params: Params, x: jax.Array) -> jax.Array:
         m = self.compute_mel_spec(x)

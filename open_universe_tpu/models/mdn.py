@@ -37,7 +37,15 @@ class MixtureDensityNetworkLoss(Module):
                               padding="same")
 
     def apply(self, params: Params, est: jax.Array, tgt: jax.Array) -> jax.Array:
-        """est: (B, T, C_est); tgt: (B, T, C_tgt) or (B, F, C) latent/mel."""
+        """est: (B, T, C_est); tgt: (B, T, C_tgt) or (B, F, C) latent/mel.
+
+        A 4-D tgt (B, C, F, M) — the with_noise_target 2-channel mel — is
+        folded channel-major into (B, F, C*M), matching the reference's
+        tgt.flatten(start_dim=1, end_dim=-2) on (B, C, M, F) (mdn.py:107-108).
+        """
+        if tgt.ndim == 4:
+            b4, c4, f4, m4 = tgt.shape
+            tgt = jnp.transpose(tgt, (0, 2, 1, 3)).reshape(b4, f4, c4 * m4)
         # LayerNorm affine is (C, T) in torch layout -> transpose around it
         e = jnp.swapaxes(est, 1, 2)  # (B, C, T)
         e = self.layer_norm(params["layer_norm"], e)
@@ -46,8 +54,16 @@ class MixtureDensityNetworkLoss(Module):
 
         b, t, _ = e.shape
         e = e.reshape(b, t, 3, self.n_comp, self.tgt_channels)
-        mean = e[:, :, 0]
-        sigma = elu2(e[:, :, 1], eps=self.sigma_eps)
+        # Bound the head: a diverged estimate (|mean| huge, sigma -> eps)
+        # pushes the NLL to inf and its backward to NaN, which the
+        # where-based loss skip in Universe.compute_losses cannot contain
+        # (the NaN rides through the grad of the skipped branch).  The
+        # reference instead isnan-checks eagerly per step
+        # (universe.py:526-539) — no jit analog.  Targets are
+        # unit-normalized, so +-1e4 is far outside the sane regime and the
+        # clip is inactive in healthy training.
+        mean = jnp.clip(e[:, :, 0], -1e4, 1e4)
+        sigma = elu2(jnp.clip(e[:, :, 1], -1e4, 1e4), eps=self.sigma_eps)
         alpha = e[:, :, 2]  # (B, T, comp, tgt)
 
         if self.alpha_per_sample:

@@ -505,6 +505,11 @@ class Universe(Module):
                 return self.score(params, x.astype(net_dtype),
                                   s.astype(net_dtype), cond, packed=packed
                                   ).astype(jnp.float32)
+            # quirk intentionally FIXED vs the reference: the analytic score
+            # is computed against the TRANSFORMED target (x lives in the
+            # transform domain); reference universe.py:276 calls
+            # self.transform(target) but discards the result, so with a
+            # non-identity transform its fake-score probe mixes domains
             true_score = -(x - target_t) / s[:, None, None] ** 2
             score_rms = jnp.sqrt(jnp.mean(true_score**2))
             noise_rms = score_rms * 10.0 ** (-score_snr / 20.0)

@@ -66,6 +66,15 @@ class UniverseLoRA(Module):
         self.use_hifigan_loss = use_hifigan_loss
         self.weight_hifigan_loss = weight_hifigan_loss
         self.use_partial_diffusion = use_partial_diffusion
+        if partial_diffusion_random_steps:
+            # the reference redraws n_steps ~ randint(2, n_steps+1) per call
+            # (lora.py:239-242); a data-dependent step count cannot be traced
+            # into one jitted train step — fail loudly rather than silently
+            # training with a fixed count
+            raise NotImplementedError(
+                "partial_diffusion_random_steps is not supported in the "
+                "jitted training path; train with a fixed diffusion.n_steps "
+                "(or alternate n_steps between runs)")
         self.partial_diffusion_random_steps = partial_diffusion_random_steps
         self.train_kwargs = dict(training or {})
         self.val_kwargs = dict(validation or {})
@@ -268,7 +277,10 @@ class UniverseLoRA(Module):
             x = (x + (sigma**2 * eta)[:, None, None] * score
                  + beta[:, None, None] * z)
             sigma = sigma_next
-            if n < n_steps - 1 - self.n_steps_backprop:
+            # same gate as the non-partial path above: gradients flow through
+            # exactly the last n_steps_backprop score evaluations (reference
+            # lora.py:273 set_grad_enabled(n >= n_steps - n_steps_backprop))
+            if n < n_steps - self.n_steps_backprop:
                 x = jax.lax.stop_gradient(x)
 
         score = m.score(mp, x, sigma, cond)

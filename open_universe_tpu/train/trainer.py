@@ -273,8 +273,8 @@ class Trainer:
                     self._log(val_metrics, step)
                 if step % self.checkpoint_every == 0:
                     self.save(step)
-        self.save(step, last=True)
-        self._wait_for_saves()
+        self.save(step)
+        self._wait_for_saves()  # block + commit last.json before returning
         return self.state
 
     def _bucketed_enhance(self, params, mix, key):
@@ -479,7 +479,7 @@ class Trainer:
                 json.dump({"step": pending[0], "path": str(pending[1])}, f)
             self._pending_last = None
 
-    def save(self, step: int, last: bool = False):
+    def save(self, step: int):
         # NOTE: in multi-host runs EVERY process must enter the orbax save
         # (its commit/finalize path synchronizes across processes); only the
         # last.json metadata write is rank-0 gated.

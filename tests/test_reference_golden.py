@@ -461,3 +461,20 @@ def test_multires_l1_spec_loss_parity(gan, scale_invariant):
                       torch.from_numpy(est)).mean().item()
     my_val = float(mine(jnp.asarray(est), jnp.asarray(target)))
     np.testing.assert_allclose(my_val, ref_val, rtol=1e-5, atol=1e-6)
+
+
+def test_mel_spec_multichannel_parity(gan, noisy):
+    """compute_mel_spec on a 2-channel input (the with_noise_target latent
+    target, reference universe.py:485-516) matches the reference per-channel
+    torchaudio path (condition.py:92-107): same values, channels kept
+    separate for the per-channel norm."""
+    x2 = np.stack([noisy, 0.5 * noisy[:, ::-1]], axis=1)  # (B, 2, T)
+    with torch.no_grad():
+        ref = gan.tm.condition_model.input_mel.compute_mel_spec(
+            torch.from_numpy(x2))  # (B, 2, M, F)
+    mine = gan.mm.condition_model.input_mel.compute_mel_spec(
+        jnp.asarray(x2.transpose(0, 2, 1)))  # (B, 2, F, M)
+    assert mine.shape == (ref.shape[0], ref.shape[1], ref.shape[3],
+                          ref.shape[2])
+    np.testing.assert_allclose(np.asarray(mine).transpose(0, 1, 3, 2),
+                               ref.numpy(), atol=2e-4)

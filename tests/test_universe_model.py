@@ -20,7 +20,7 @@ FS = 16000
 T = 1600  # 0.1 s
 
 
-def _make_universe(edm=None, weights=None):
+def _make_universe(edm=None, weights=None, **kw):
     score = ScoreNetwork(rate_factors=RATES, n_channels=NCH, noise_cond_dim=32,
                          extra_conv_block=True)
     cond = ConditionerNetwork(rate_factors=RATES, n_channels=NCH, n_mels=16,
@@ -36,6 +36,7 @@ def _make_universe(edm=None, weights=None):
                   "ema_decay": 0.999},
         normalization_kwargs={"ref": "both", "level_db": -26.0},
         edm=edm,
+        **kw,
     )
 
 
@@ -192,3 +193,57 @@ def test_edm_fast_path_matches_generic_wrapper():
         tol = 0.15 if kw.get("compute_dtype") is not None else 2e-5
         err = np.abs(fast - ref).max() / (np.abs(ref).max() + 1e-9)
         assert err < tol, (kw, err)
+
+
+def test_with_noise_target_training_losses_finite():
+    """with_noise_target=True: the 2-channel aux target flows through the
+    per-channel mel path (condition.py compute_mel_spec 4-D output) and the
+    MDN channel-major flatten (reference universe.py:485-516, mdn.py:107).
+    Regression: the mel adapter used to flatten channels into time, which
+    crashed the latent loss at trace time."""
+    model = _make_universe(with_noise_target=True)
+    params = model.init(jax.random.key(0))
+    mix = jax.random.normal(jax.random.key(1), (2, T, 1)) * 0.1
+    target = jax.random.normal(jax.random.key(2), (2, T, 1)) * 0.1
+    loss, metrics = model.training_losses(params, jax.random.key(3), mix,
+                                          target)
+    assert np.isfinite(float(loss))
+    assert np.isfinite(float(metrics["train/latent"]))
+    assert np.isfinite(float(metrics["train/signal"]))
+
+    # the 4-D fold is exactly the reference's channel-major flatten:
+    # torch (B, C, M, F).flatten(1, -2)[b, c*M+m, f] == ours
+    # (B, C, F, M) -> (B, F, C*M)[b, f, c*M+m]
+    x = np.arange(2 * 3 * 5 * 4).reshape(2, 3, 5, 4).astype(np.float32)
+    ours = np.transpose(x, (0, 2, 1, 3)).reshape(2, 5, 3 * 4)
+    torch_flat = x.transpose(0, 1, 3, 2).reshape(2, 3 * 4, 5)  # (B, C*M, F)
+    np.testing.assert_array_equal(ours, torch_flat.transpose(0, 2, 1))
+
+
+def test_mdn_blowup_keeps_grads_finite():
+    """Regression for the where-NaN-grad trap: a diverged MDN head (huge
+    mean, tiny sigma) used to push the NLL to inf and its backward to NaN,
+    poisoning ALL gradients despite the where-based loss skip.  The head is
+    now bounded (mdn.py clip) so loss and grads stay finite; the reference
+    handles this with an eager per-step isnan check (universe.py:531-539)
+    that has no jit analog."""
+    model = _make_universe(weights={"score": 1.0, "signal": 1.0,
+                                    "latent": 0.0})
+    params = model.init(jax.random.key(0))
+    # bias layout (3, n_comp, tgt): first third mean, second sigma (elu2)
+    bias = np.array([1e30, 1e30, -1e30, -1e30, 0.0, 0.0], np.float32)
+    params["loss_signal"]["conv"]["conv"]["bias"] = jnp.asarray(bias)
+
+    mix = jax.random.normal(jax.random.key(1), (2, T, 1)) * 0.1
+    target = jax.random.normal(jax.random.key(2), (2, T, 1)) * 0.1
+
+    def loss_fn(p):
+        loss, metrics = model.training_losses(p, jax.random.key(3), mix,
+                                              target)
+        return loss, metrics
+
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    bad = [np.asarray(g) for g in jax.tree.leaves(grads)
+           if not np.isfinite(np.asarray(g)).all()]
+    assert not bad, f"{len(bad)} non-finite grad leaves"
