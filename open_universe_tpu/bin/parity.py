@@ -71,11 +71,14 @@ def build_report(summary: dict, baseline: dict, metrics) -> dict:
             row["better"] = bool(delta >= 0) if m in _HIGHER_BETTER \
                 else bool(delta <= 0)
         rows.append(row)
+    compared = [r for r in rows if "delta" in r]
     return {
         "n_files": summary.get("number"),
         "rows": rows,
-        "parity": all(r.get("better", False) for r in rows
-                      if "delta" in r) if rows else False,
+        # parity requires at least one metric actually compared — an
+        # all-failed metric pass must not read as a green light
+        "parity": bool(compared) and all(r["better"] for r in compared),
+        "n_compared": len(compared),
     }
 
 
@@ -122,7 +125,10 @@ def main(argv=None):
         # materialize a limited file list via a temp subtree of symlinks
         subset = args.output / "noisy_subset"
         subset.mkdir(exist_ok=True)
-        wavs = sorted(args.noisy_dir.rglob("*.wav"))[: args.limit]
+        from .enhance import AUDIO_EXTS
+
+        wavs = sorted(p for p in args.noisy_dir.rglob("*")
+                      if p.suffix.lower() in AUDIO_EXTS)[: args.limit]
         for w in wavs:
             link = subset / w.name
             if not link.exists():

@@ -167,11 +167,14 @@ def encode_mp3(path: Union[str, Path], audio: np.ndarray, fs: int,
 
 
 class _Bits:
-    """MSB-first bit reader over a byte buffer."""
+    """MSB-first bit reader over a byte buffer.
+
+    Built ONCE per stream and repositioned between frames (frame starts are
+    byte-aligned) — a per-frame construction would unpack the whole
+    remaining file to bits for every frame, O(frames x filesize)."""
 
     def __init__(self, data: bytes, pos_bits: int = 0):
         self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
-        self.ones = np.flatnonzero(self.bits)  # for O(log n) unary reads
         self.pos = pos_bits
 
     def read(self, n: int) -> int:
@@ -188,12 +191,22 @@ class _Bits:
         return v - (1 << n) if v >= (1 << (n - 1)) else v
 
     def unary(self) -> int:
-        i = np.searchsorted(self.ones, self.pos)
-        if i >= len(self.ones):
-            raise EOFError("flac: out of data in unary read")
-        q = int(self.ones[i]) - self.pos
-        self.pos = int(self.ones[i]) + 1
-        return q
+        # Rice unary runs are short (q < 64 in practice): scan forward in
+        # doubling windows instead of indexing every set bit of the stream
+        pos = self.pos
+        win = 64
+        n = len(self.bits)
+        while pos < n:
+            seg = self.bits[pos: pos + win]
+            first = int(seg.argmax())  # first 1, or 0 if all zero
+            if seg[first]:
+                one = pos + first
+                q = one - self.pos
+                self.pos = one + 1
+                return q
+            pos += len(seg)
+            win *= 2
+        raise EOFError("flac: out of data in unary read")
 
     def align(self):
         self.pos = (self.pos + 7) & ~7
@@ -385,9 +398,10 @@ def _decode_flac_python(data: bytes, path="<bytes>") -> Tuple[np.ndarray, int]:
 
     out = []
     n_done = 0
+    bits = _Bits(data)  # one unpack for the whole stream; repositioned below
     while pos < len(data) and (total is None or total == 0 or n_done < total):
         frame_start = pos
-        bits = _Bits(data[pos:])
+        bits.pos = pos * 8
         sync = bits.read(14)
         if sync != 0b11111111111110:
             raise ValueError(f"flac: bad frame sync at byte {pos}")
@@ -412,12 +426,13 @@ def _decode_flac_python(data: bytes, path="<bytes>") -> Tuple[np.ndarray, int]:
             bits.read(16)
         _SS = {0: bps, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
         fbps = _SS[ss_code]
-        # CRC-8 over the header bytes
-        hdr_bytes = (bits.pos + 7) // 8
+        # CRC-8 over the header bytes (bit positions are absolute in the
+        # stream; the frame starts byte-aligned at frame_start)
+        hdr_bytes = (bits.pos - frame_start * 8 + 7) // 8
         if _crc8(data[frame_start: frame_start + hdr_bytes]) != \
                 data[frame_start + hdr_bytes]:
             raise ValueError(f"flac: frame header CRC mismatch at {pos}")
-        bits.pos = (hdr_bytes + 1) * 8
+        bits.pos = (frame_start + hdr_bytes + 1) * 8
 
         if ch_code < 8:
             nch = ch_code + 1
@@ -444,7 +459,7 @@ def _decode_flac_python(data: bytes, path="<bytes>") -> Tuple[np.ndarray, int]:
             raise ValueError("flac: channel count mismatch")
 
         bits.align()
-        frame_len = bits.pos // 8
+        frame_len = bits.pos // 8 - frame_start
         crc = int.from_bytes(
             data[frame_start + frame_len: frame_start + frame_len + 2], "big")
         if _crc16(data[frame_start: frame_start + frame_len]) != crc:

@@ -61,6 +61,12 @@ def make_chunked_enhancer(
     chunk = int(round(chunk_seconds * model.fs))
     ov = int(round(chunk * overlap))
     hop = chunk - ov
+    if hop < 1:
+        # overlap < 1 does not guarantee hop >= 1 after rounding (e.g.
+        # overlap=0.999997 at chunk=160000 rounds ov up to chunk)
+        raise ValueError(
+            f"chunk_seconds={chunk_seconds} with overlap={overlap} leaves a "
+            f"hop of {hop} samples; increase the chunk or lower the overlap")
 
     # enhance() loudness-normalizes each batch row independently and returns
     # output at the normalized level; blended chunks would therefore carry

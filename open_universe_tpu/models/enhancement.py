@@ -93,6 +93,18 @@ class EnhancementBaseModel(Module):
         metrics.update({f"train/{k}": v for k, v in losses.items()})
         return loss, metrics
 
+    def validation_losses(self, params: Params, key, mix, target):
+        """Validation losses (reference enhancement/base.py:382-407):
+        normalized forward + compute_losses, without the train-only
+        dynamic-mixing augmentation."""
+        del key
+        (mix, target), *_ = self.normalize_batch((mix, target))
+        enh = self.forward(params, mix)
+        loss, losses = self.compute_losses(params, enh, target)
+        metrics = {"val/main_loss": loss}
+        metrics.update({f"val/{k}": v for k, v in losses.items()})
+        return loss, metrics
+
     def enhance(self, params: Params, mix, key=None, keep_rms: bool = False):
         x_ndim = mix.ndim
         if x_ndim == 1:

@@ -224,9 +224,9 @@ class UniverseLoRA(Module):
 
             s_last = jnp.broadcast_to(sigma[-1], (bsz,))
             score = m.score(mp, x, s_last, cond)
+            # the final score eval always carries gradients: __init__ rejects
+            # n_steps_backprop < 1 (reference lora.py asserts the same)
             x = x + sigma[-1] ** 2 * score
-            if self.n_steps_backprop <= 0:
-                x = jax.lax.stop_gradient(x)
 
             x = m.transform(tp, x, inv=True)
             x = m.unpad(x, pad)
@@ -323,6 +323,14 @@ class UniverseLoRA(Module):
         metrics = {"train/main_loss": loss}
         metrics.update({f"train/{k}": v for k, v in losses.items()})
         return loss, metrics
+
+    def validation_losses(self, params: Params, key, mix, target):
+        """Validation = the training objective on the val batch (the
+        reference inherits EnhancementBaseModel.validation_step,
+        base.py:382-407: normalized forward + compute_losses)."""
+        loss, metrics = self.training_losses(params, key, mix, target)
+        return loss, {k.replace("train/", "val/", 1): v
+                      for k, v in metrics.items()}
 
     def enhance(self, params: Params, mix, key=None, **kwargs):
         return self.model.enhance(params["model"], mix, key=key, **kwargs)

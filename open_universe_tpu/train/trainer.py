@@ -176,10 +176,18 @@ class Trainer:
         self.state = shard_params(self.mesh, self.state,
                                   min_last=self.tp_min_shard)
 
-        # validation fns (jitted; one compile per val length bucket)
-        self._val_loss_fn = jax.jit(
-            partial(self.model.compute_losses, train=False,
-                    time_sampling="time_uniform"))
+        # validation fns (jitted; one compile per val length bucket).
+        # Diffusion models (Universe/UniverseGAN) validate with the binned
+        # score loss; the enhancement family (EnhancementBaseModel,
+        # UniverseLoRA) has no score to bin — it validates with its own
+        # loss stack (reference enhancement/base.py:382-407).
+        self.is_diffusion = isinstance(model, Universe)
+        if self.is_diffusion:
+            self._val_loss_fn = jax.jit(
+                partial(self.model.compute_losses, train=False,
+                        time_sampling="time_uniform"))
+        else:
+            self._val_loss_fn = jax.jit(self.model.validation_losses)
         self._enhance_fn = jax.jit(
             lambda p, mix, key: self.model.enhance(p, mix, key=key))
 
@@ -263,8 +271,8 @@ class Trainer:
                     t0 = time.perf_counter()
                     metrics["perf/step_time_s"] = dt
                     self._log(metrics, step)
-                    main = metrics.get("train/loss",
-                                       metrics.get("train/loss_gen", 0.0))
+                    main = metrics.get("train/loss", metrics.get(
+                        "train/loss_gen", metrics.get("train/main_loss", 0.0)))
                     log.info("step %d loss %.4f (%.3fs/step)", step,
                              float(main), dt)
 
@@ -277,27 +285,87 @@ class Trainer:
         self._wait_for_saves()  # block + commit last.json before returning
         return self.state
 
-    def _bucketed_enhance(self, params, mix, key):
-        """Enhance with the clip padded up to a length bucket.
-
-        Validation/test clips are full-length and variable; jitting
-        ``enhance`` per unique length means one XLA compile per clip on TPU.
-        Padding to multiples of ``validation.bucket_seconds`` (default 1 s)
-        bounds compiles to O(buckets).  The zero pad slightly perturbs the
-        in-sampler RMS normalization (which is inverted on output), so the
-        trimmed result is equivalent up to normalization rounding."""
+    def _pad_to_bucket(self, x):
+        """Zero-pad (B, T, C) up to a multiple of ``validation.bucket_seconds``
+        (default 1 s).  Validation/test clips are full-length and variable;
+        jitting per unique length means one XLA compile per clip on TPU —
+        bucketing bounds compiles to O(buckets)."""
         fs = self.model.fs
         bucket = self.model.val_kwargs.get("bucket_seconds", 1.0)
-        t = mix.shape[1]
+        t = x.shape[1]
         step_len = max(int(round(bucket * fs)), 1)
         t_pad = int(math.ceil(t / step_len) * step_len)
         if t_pad != t:
-            mix = jnp.pad(mix, ((0, 0), (0, t_pad - t), (0, 0)))
-        est = self._enhance_fn(params, mix, key)
+            x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+        return x
+
+    def _bucketed_enhance(self, params, mix, key):
+        """Enhance with the clip padded up to a length bucket.  The zero pad
+        slightly perturbs the in-sampler RMS normalization (which is inverted
+        on output), so the trimmed result is equivalent up to normalization
+        rounding."""
+        t = mix.shape[1]
+        est = self._enhance_fn(params, self._pad_to_bucket(mix), key)
         return est[:, :t]
+
+    def _enhance_and_score(self, params, step, bi, batch, mix, target, key,
+                           enh_metrics):
+        """Shared enhance + metric-suite part of validation (both model
+        families; reference base.py:408-478 / universe.py:640-704)."""
+        est = self._bucketed_enhance(params, mix, key)  # (B, T, 1)
+        est_np = np.asarray(est)[:, :, 0][:, None, :]
+        tgt_np = np.asarray(target)[:, :, 0][:, None, :]
+        self._log_audio_samples(step, bi, np.asarray(batch["noisy"]),
+                                tgt_np, est_np)
+        for name, loss in self.enh_losses.items():
+            vals = loss(est_np, tgt_np)
+            if not isinstance(vals, dict):
+                vals = {"": vals}
+            for sub_name, v in vals.items():
+                enh_metrics.setdefault(name + sub_name, []).append(float(v))
+
+    def _validate_enhancement(self, step: int) -> Dict[str, float]:
+        """Validation for the enhancement family (EnhancementBaseModel,
+        UniverseLoRA; reference enhancement/base.py:382-478): the model's
+        own loss stack on the val batch — no diffusion score bins — plus
+        the shared enhance + metric pass."""
+        model = self.model
+        max_enh = model.val_kwargs.get("max_enh_batches", 4)
+        key = jax.random.key(VAL_SEED)
+        params = self._eval_params()
+        loss_sums: Dict[str, float] = {}
+        n_batches = 0
+        enh_metrics: Dict[str, list] = {}
+
+        for bi, batch in enumerate(self.dm.val_dataloader()):
+            if self.max_val_batches is not None and bi >= self.max_val_batches:
+                break
+            mix = jnp.asarray(batch["noisy"])
+            target = jnp.asarray(batch["clean"])
+            key, sub = jax.random.split(key)
+            _, vmetrics = self._val_loss_fn(params, sub,
+                                            self._pad_to_bucket(mix),
+                                            self._pad_to_bucket(target))
+            for k, v in vmetrics.items():
+                loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
+            n_batches += 1
+            if bi < max_enh and self.enh_losses:
+                key, sub = jax.random.split(key)
+                self._enhance_and_score(params, step, bi, batch, mix, target,
+                                        sub, enh_metrics)
+
+        metrics = {k: v / n_batches for k, v in loss_sums.items()} \
+            if n_batches else {}
+        for k, vals in enh_metrics.items():
+            metrics[k] = float(np.mean(vals))
+        log.info("validation @%d: %s", step,
+                 {k: round(v, 4) for k, v in metrics.items()})
+        return metrics
 
     # ------------------------------------------------------------------
     def validate(self, step: int) -> Dict[str, float]:
+        if not self.is_diffusion:
+            return self._validate_enhancement(step)
         model = self.model
         n_bins = model.val_kwargs.get("n_bins", 5)
         max_enh = model.val_kwargs.get("max_enh_batches", 4)
@@ -315,8 +383,12 @@ class Trainer:
             mix = jnp.asarray(batch["noisy"])
             target = jnp.asarray(batch["clean"])
             (mix_n, target_n), *_ = model.normalize_batch((mix, target))
-            mix_p, _ = model.pad(mix_n)
-            target_p, _ = model.pad(target_n)
+            # bucket pad AFTER normalization (stats match the reference's
+            # native-length batch); the score loss averages over the padded
+            # region too, a uniform dilution that cancels in the adaptive
+            # histogram's relative bin scores
+            mix_p, _ = model.pad(self._pad_to_bucket(mix_n))
+            target_p, _ = model.pad(self._pad_to_bucket(target_n))
             for i in range(n_bins):
                 key, sub = jax.random.split(key)
                 ls = self._val_loss_fn(params, sub, mix_p, target_p,
@@ -327,18 +399,8 @@ class Trainer:
 
             if bi < max_enh and self.enh_losses:
                 key, sub = jax.random.split(key)
-                est = self._bucketed_enhance(params, mix, sub)  # (B, T, 1)
-                est_np = np.asarray(est)[:, :, 0][:, None, :]
-                tgt_np = np.asarray(target)[:, :, 0][:, None, :]
-                self._log_audio_samples(step, bi, np.asarray(batch["noisy"]),
-                                        tgt_np, est_np)
-                for name, loss in self.enh_losses.items():
-                    vals = loss(est_np, tgt_np)
-                    if not isinstance(vals, dict):
-                        vals = {"": vals}
-                    for sub_name, v in vals.items():
-                        enh_metrics.setdefault(name + sub_name, []).append(
-                            float(v))
+                self._enhance_and_score(params, step, bi, batch, mix, target,
+                                        sub, enh_metrics)
 
         metrics: Dict[str, float] = {}
         if n_batches:

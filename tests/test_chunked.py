@@ -56,3 +56,15 @@ def test_chunked_real_model_runs():
     y = fn(params, x, key=jax.random.key(3))
     assert y.shape == x.shape
     assert np.all(np.isfinite(y))
+
+
+@pytest.mark.parametrize("chunk_seconds,overlap",
+                         [(10.0, 0.999997),  # ov rounds up to chunk
+                          (1.0, -0.1)])      # negative -> uncovered gaps
+def test_invalid_overlap_rejected(chunk_seconds, overlap):
+    """hop must stay >= 1 after rounding; the old overlap<1 check alone let
+    overlap=0.999997 through (ov=round(159999.5)=chunk, hop=0) and the first
+    call died with ZeroDivisionError instead of a clear error."""
+    with pytest.raises(ValueError):
+        make_chunked_enhancer(_StubModel(), chunk_seconds=chunk_seconds,
+                              overlap=overlap)

@@ -91,3 +91,13 @@ def test_build_report_missing_metric():
     rows = {r["metric"]: r for r in rep["rows"]}
     assert rows["pesq-wb"]["ours"] is None
     assert "delta" not in rows["pesq-wb"]
+
+
+def test_build_report_no_compared_metrics_is_not_parity():
+    """An all-failed metric pass (every row ours=None) must not report
+    parity=true — all([]) on the empty comparison set was a false green
+    light for the north-star check."""
+    rep = build_report({"number": 3}, REFERENCE_RESULTS["plusplus"],
+                       ["si-sdr", "pesq-wb"])
+    assert rep["parity"] is False
+    assert rep["n_compared"] == 0

@@ -156,6 +156,61 @@ def test_trainer_test_method(tmp_path, rng):
     assert (tmp_path / "run" / "test_summary.json").exists()
 
 
+def test_fit_validates_enhancement_family(tmp_path, rng):
+    """Regression: Trainer.validate assumed the diffusion interface
+    (model.pad + binned score loss) and crashed with AttributeError on the
+    enhancement family (UniverseLoRA, EnhancementBaseModel) at the first
+    validation — after hours of fine-tune training.  The enhancement branch
+    follows reference enhancement/base.py:382-478: the model's own loss
+    stack (val/main_loss + per-loss metrics) plus the enhance+metric pass."""
+    from test_checkpoint_conversion import TINY_GAN_CFG
+
+    from open_universe_tpu.inference.torch_convert import fold_weight_norm
+    from open_universe_tpu.models.enhancement import EnhancementBaseModel
+    from open_universe_tpu.models.universe_lora import UniverseLoRA
+    from open_universe_tpu.nn import Conv1d
+
+    _make_dataset(tmp_path / "data", n_train=4, n_val=2, n_test=1, dur=0.1)
+    cfg = compose("config", [
+        f"datamodule.datasets.vb-train-16k.audio_path={tmp_path/'data'}",
+        "datamodule.datasets.vb-train-16k.audio_len=0.05",
+        "datamodule.train.dl_opts.batch_size=2",
+    ])
+    dm = instantiate(cfg["datamodule"])
+    l1_loss = {"l1": {"weight": 1.0, "kwargs": {
+        "_target_": "open_universe_tpu.losses.MultiResL1SpecLoss",
+        "window_sz": [256]}}}
+
+    base = instantiate(TINY_GAN_CFG)
+    base_params = fold_weight_norm(
+        base, jax.tree.map(np.asarray, base.init(jax.random.key(0))))
+    lora = UniverseLoRA(
+        model=base, fs=16000, base_params=base_params, losses=l1_loss,
+        training={"audio_len": 0.05, "ema_decay": 0.0},
+        validation={"max_enh_batches": 1, "bucket_seconds": 0.2},
+        optimizer={"lr": 1e-4}, diffusion={"n_steps": 2, "epsilon": 1.3},
+        n_steps_backprop=1, lora_rank=2)
+    enh = EnhancementBaseModel(
+        fs=16000, model=Conv1d(1, 1, 9, padding="same"), losses=l1_loss,
+        validation={"max_enh_batches": 1, "bucket_seconds": 0.2},
+        normalization_kwargs={"ref": "both", "level_db": -26.0})
+
+    for name, model in (("lora", lora), ("enh", enh)):
+        trainer = Trainer(model, dm, tmp_path / f"run_{name}", max_steps=2,
+                          val_check_interval=1, checkpoint_every=100,
+                          log_every=1, max_val_batches=2, seed=0,
+                          mesh=make_mesh(dp=2))
+        trainer.enh_losses = {
+            "val/neg_mse": lambda est, ref: -float(np.mean((est - ref) ** 2))}
+        trainer.fit()  # AttributeError('pad') at step 1 before the fix
+        metrics = trainer.validate(2)
+        assert np.isfinite(metrics["val/main_loss"]), name
+        assert np.isfinite(metrics["val/l1"]), name
+        assert "val/neg_mse" in metrics, name
+        # val clips have 2 distinct lengths; the 0.2 s bucket bounds compiles
+        assert trainer._val_loss_fn._cache_size() <= 1, name
+
+
 def test_tp_sharding_matches_dp_only(rng, tmp_path):
     """dp x tp parameter sharding computes the same step as dp-only
     (VERDICT weak #6: Trainer mesh_tp must be real, not cosmetic)."""
