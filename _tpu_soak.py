@@ -96,7 +96,7 @@ def build(max_steps):
         "datamodule.train.dl_opts.batch_size=16",
         "model.training.compute_dtype=bf16",
         "model.training.nan_guard=true",
-        "model.validation.num_tb_samples=2",
+        "+model.validation.num_tb_samples=2"  # not declared in model/default.yaml (same as the reference),
         # shorter horizons so the 25k soak actually exercises the
         # warmup->cosine shape (still evaluated at 2x step like the ref)
         "model.scheduler.generator.scheduler.T_warmup=4000",

@@ -93,8 +93,34 @@ def merge(base: Dict[str, Any], overlay: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def apply_dotlist(cfg: Dict[str, Any], overrides: List[str]) -> Dict[str, Any]:
+    """Dotlist overrides with hydra's strict semantics:
+
+      ``key=value``     override an existing key (error if the path is new —
+                        a silently-created key is how typos like
+                        ``exp_dir=...`` go unnoticed for a whole run)
+      ``+key=value``    add a new key (error if it already exists)
+      ``++key=value``   add or override
+      ``~key``          delete an existing key
+    """
     cfg = copy.deepcopy(cfg)
     for ov in overrides:
+        if ov.startswith("~"):
+            key = ov[1:].partition("=")[0]
+            parts = key.split(".")
+            cur = cfg
+            try:
+                for p in parts[:-1]:
+                    cur = cur[p]
+                del cur[parts[-1]]
+            except (KeyError, TypeError):
+                raise ValueError(
+                    f"cannot delete {key!r}: no such key") from None
+            continue
+        mode = "override"
+        if ov.startswith("++"):
+            mode, ov = "upsert", ov[2:]
+        elif ov.startswith("+"):
+            mode, ov = "add", ov[1:]
         if "=" not in ov:
             raise ValueError(f"override {ov!r} must be key=value")
         key, _, val = ov.partition("=")
@@ -102,8 +128,28 @@ def apply_dotlist(cfg: Dict[str, Any], overrides: List[str]) -> Dict[str, Any]:
         cur = cfg
         parts = key.split(".")
         for p in parts[:-1]:
-            cur = cur.setdefault(p, {})
-        cur[parts[-1]] = val
+            if isinstance(cur, dict) and p in cur and isinstance(cur[p], dict):
+                cur = cur[p]
+            elif mode == "override":
+                raise KeyError(
+                    f"override key {key!r} is not in the composed config "
+                    f"(failed at {p!r}); use +{key}=... to add a new key")
+            else:
+                if not isinstance(cur, dict) or (
+                        p in cur and not isinstance(cur[p], dict)):
+                    raise KeyError(f"cannot add {key!r}: {p!r} is not a dict")
+                cur = cur.setdefault(p, {})
+        last = parts[-1]
+        exists = isinstance(cur, dict) and last in cur
+        if mode == "override" and not exists:
+            raise KeyError(
+                f"override key {key!r} is not in the composed config; "
+                f"use +{key}=... to add a new key")
+        if mode == "add" and exists:
+            raise KeyError(
+                f"+{key} already exists in the composed config; "
+                f"use ++{key}=... to override it")
+        cur[last] = val
     return cfg
 
 

@@ -1,10 +1,12 @@
-"""Model loading: local Lightning checkpoints or HuggingFace hub.
+"""Model loading: local Lightning checkpoints, our own Trainer runs, or HF hub.
 
 Mirrors the reference public API (inference_utils/model_loader.py): a model
 spec is either a local ``*.ckpt`` path (config discovered at ``./config.yaml``
-or ``../.hydra/config.yaml``) or an HF repo ``repo[:revision]`` hosting
-``weights.ckpt`` + ``config.yaml``.  Returns (model, params) with EMA weights
-folded in when present, weight norm folded for inference speed.
+or ``../.hydra/config.yaml``), an HF repo ``repo[:revision]`` hosting
+``weights.ckpt`` + ``config.yaml``, or — beyond the reference — a directory
+of one of our own orbax Trainer runs (best.json/last.json selection).
+Returns (model, params) with EMA weights folded in when present, weight norm
+folded for inference speed.
 """
 from __future__ import annotations
 
@@ -57,6 +59,68 @@ def _load_torch_ckpt(path: Path) -> Dict[str, Any]:
     return ckpt
 
 
+def _resolve_orbax_step(path: Path) -> Tuple[Path, Path]:
+    """Resolve a Trainer run directory to (step_dir, config_path).
+
+    Accepts a run dir (contains ``checkpoints/``), a ``checkpoints`` dir, or
+    a single ``step_XXXXXXXX`` dir.  Within a checkpoints dir the selection
+    order is best.json (argbest validation.main_loss, the reference's
+    ModelCheckpoint monitor) then last.json (newest finalized)."""
+    import json
+
+    p = path
+    if (p / "checkpoints").is_dir():
+        p = p / "checkpoints"
+    if p.name.startswith("step_"):
+        step_dir = p
+        ckpt_dir = p.parent
+    else:
+        ckpt_dir = p
+        step_dir = None
+        for meta in ("best.json", "last.json"):
+            if (ckpt_dir / meta).exists():
+                with open(ckpt_dir / meta) as f:
+                    entry = json.load(f)
+                cand = Path(entry["path"])
+                if not cand.is_absolute():
+                    # paths in the metadata are relative to the launch cwd;
+                    # fall back to resolving against the checkpoints dir
+                    if not cand.exists():
+                        cand = ckpt_dir / cand.name
+                step_dir = cand
+                log.info("selected checkpoint %s via %s", step_dir.name, meta)
+                break
+        if step_dir is None:
+            steps = sorted(ckpt_dir.glob("step_*"))
+            if not steps:
+                raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+            step_dir = steps[-1]
+    cfg = ckpt_dir.parent / "config.yaml"
+    if not cfg.exists():
+        raise FileNotFoundError(f"no config.yaml found at {cfg}")
+    return step_dir, cfg
+
+
+def _load_orbax_run(path: Path, load_ema: bool) -> Tuple[Module,
+                                                         Dict[str, Any]]:
+    """Load (model, params) from one of our own Trainer run directories."""
+    import orbax.checkpoint as ocp
+
+    from ..train.ema import ema_apply
+
+    step_dir, cfg_path = _resolve_orbax_step(path)
+    with open(cfg_path) as f:
+        config = yaml.safe_load(f)
+    model = instantiate(config.get("model", config))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        state = ckptr.restore(step_dir.absolute())
+    params = state["params"]
+    if load_ema and state.get("ema") is not None:
+        log.info("folding EMA shadow parameters")
+        params = ema_apply(params, state["ema"])
+    return model, params
+
+
 def load_model(name_or_path: str, load_ema: bool = True,
                fold_wn: bool = True) -> Tuple[Module, Dict[str, Any]]:
     """Load a model + params from a local ckpt or the HF hub.
@@ -65,6 +129,13 @@ def load_model(name_or_path: str, load_ema: bool = True,
     ``model.enhance(params, mix, ...)``.
     """
     p = Path(name_or_path)
+    if p.is_dir():
+        # one of our own Trainer runs (orbax): run dir / checkpoints dir /
+        # step dir; picks best.json (validation.main_loss) before last.json
+        model, params = _load_orbax_run(p, load_ema)
+        if fold_wn:
+            params = fold_weight_norm(model, params)
+        return model, jax_tree_asarray(params)
     if p.exists() and p.suffix == ".ckpt":
         ckpt_path, cfg_path = p, ckpt_to_config_path(p)
     else:

@@ -279,6 +279,7 @@ class Trainer:
                 if step % self.val_check_interval == 0:
                     val_metrics = self.validate(step)
                     self._log(val_metrics, step)
+                    self._last_val = dict(val_metrics)
                 if step % self.checkpoint_every == 0:
                     self.save(step)
         self.save(step)
@@ -531,15 +532,43 @@ class Trainer:
             self._commit_last_json()
 
     def _commit_last_json(self):
-        """Point last.json at the newest FINALIZED checkpoint.  Written only
-        after wait_until_finished(), so a crash during an in-flight async
-        write can never leave last.json referencing a partial checkpoint —
-        resume falls back to the previous finalized step instead."""
+        """Point last.json / index.json / best.json at FINALIZED checkpoints
+        only.  Written only after wait_until_finished(), so a crash during an
+        in-flight async write can never leave the metadata referencing a
+        partial checkpoint — resume falls back to the previous finalized step.
+
+        index.json accumulates one entry per checkpoint with the monitored
+        validation metric (validation.main_loss, e.g. val/pesq — the
+        reference encodes it in the Lightning ModelCheckpoint filename,
+        train.py:64-76); best.json points at the argbest entry, replacing
+        the reference's pick-by-filename checkpoint selection."""
         pending = getattr(self, "_pending_last", None)
         if pending is not None and jax.process_index() == 0:
-            with open(self.output_dir / "checkpoints" / "last.json", "w") as f:
-                json.dump({"step": pending[0], "path": str(pending[1])}, f)
-            self._pending_last = None
+            ckpt_dir = self.output_dir / "checkpoints"
+            step_, path_, metric = pending
+            with open(ckpt_dir / "last.json", "w") as f:
+                json.dump({"step": step_, "path": str(path_)}, f)
+
+            main_name = self.model.val_kwargs.get("main_loss")
+            index_path = ckpt_dir / "index.json"
+            index = []
+            if index_path.exists():
+                with open(index_path) as f:
+                    index = json.load(f)
+            index = [e for e in index if e["step"] != step_]
+            index.append({"step": step_, "path": str(path_),
+                          "metric": main_name, "value": metric})
+            with open(index_path, "w") as f:
+                json.dump(index, f, indent=2)
+
+            scored = [e for e in index if e.get("value") is not None]
+            if scored:
+                mode = self.model.val_kwargs.get("main_loss_mode", "min")
+                pick = max if mode == "max" else min
+                best = pick(scored, key=lambda e: e["value"])
+                with open(ckpt_dir / "best.json", "w") as f:
+                    json.dump(best, f)
+        self._pending_last = None
 
     def save(self, step: int):
         # NOTE: in multi-host runs EVERY process must enter the orbax save
@@ -550,7 +579,11 @@ class Trainer:
         self._commit_last_json()
         path = self.output_dir / "checkpoints" / f"step_{step:08d}"
         ckptr.save(path.absolute(), jax.device_get(self.state), force=True)
-        self._pending_last = (step, path)
+        # monitored metric from the newest validation, staged with the save
+        # and committed to index/best only after the write is finalized
+        main_name = self.model.val_kwargs.get("main_loss")
+        metric = getattr(self, "_last_val", {}).get(main_name)
+        self._pending_last = (step, path, metric)
         log.info("saving checkpoint %s (async)", path)
 
     def restore(self, path: str):

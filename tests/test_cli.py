@@ -243,3 +243,16 @@ def test_train_cli_end_to_end(tmp_path, rng):
     with open(run / "test_summary.json") as f:
         summary = json.load(f)
     assert summary["number"] == 2.0
+
+    # the run dir itself is a loadable model spec: enhance straight from the
+    # orbax checkpoint (best.json/last.json selection), no torch export step
+    out_dir = tmp_path / "enh_from_run"
+    from open_universe_tpu.bin.enhance import main as enhance_main
+
+    rc = enhance_main([str(data / "test" / "noisy"), str(out_dir),
+                       "--model", str(run), "--n_steps", "2"])
+    assert rc == 0
+    outs = sorted(out_dir.rglob("*.wav"))
+    assert len(outs) == 2
+    enh, _ = load_audio(outs[0])
+    assert np.isfinite(enh).all()

@@ -169,3 +169,33 @@ def test_trainer_fit_universepp_24k(tmp_path):
                       mesh=make_mesh(dp=2), config=cfg)
     state = trainer.fit()
     assert int(jax.device_get(state["step"])) == 2
+
+
+def test_dotlist_strictness():
+    """Hydra-semantics dotlist: plain overrides must hit existing keys (a
+    typo like exp_dir=... used to be silently created and ignored), + adds,
+    ++ upserts, ~ deletes."""
+    from open_universe_tpu.configs.resolve import apply_dotlist, compose
+
+    cfg = {"a": {"b": 1}, "flat": 2}
+    assert apply_dotlist(cfg, ["a.b=3"])["a"]["b"] == 3
+    with pytest.raises(KeyError):
+        apply_dotlist(cfg, ["a.c=1"])
+    with pytest.raises(KeyError):
+        apply_dotlist(cfg, ["exp_dir=/tmp/x"])  # the actual typo that bit us
+    out = apply_dotlist(cfg, ["+a.c=4", "+new.deep.key=5"])
+    assert out["a"]["c"] == 4 and out["new"]["deep"]["key"] == 5
+    with pytest.raises(KeyError):
+        apply_dotlist(cfg, ["+a.b=9"])
+    out = apply_dotlist(cfg, ["++a.b=9", "++a.z=10"])
+    assert out["a"]["b"] == 9 and out["a"]["z"] == 10
+    out = apply_dotlist(cfg, ["~a.b"])
+    assert "b" not in out["a"]
+    with pytest.raises(ValueError):
+        apply_dotlist(cfg, ["~missing.key"])
+
+    # through compose: + introduces a key absent from the model config
+    cfg2 = compose("config", ["experiment=universe_original_vb_16k",
+                              "+model.with_noise_target=true"])
+    assert cfg2["model"]["with_noise_target"] is True
+    assert cfg2["platform"] is None  # declared root key

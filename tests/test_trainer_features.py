@@ -239,3 +239,36 @@ def test_tp_sharding_matches_dp_only(rng, tmp_path):
                                float(m_tp["train/loss"]), rtol=2e-5)
     np.testing.assert_allclose(float(m_dp["grad/norm"]),
                                float(m_tp["grad/norm"]), rtol=2e-4)
+
+
+def test_checkpoint_index_and_best(tmp_path, rng):
+    """index.json records the monitored validation metric per finalized
+    checkpoint and best.json points at the argbest entry — our analog of the
+    reference's metric-in-filename ModelCheckpoint selection
+    (reference train.py:64-76, validation.main_loss/main_loss_mode)."""
+    _make_dataset(tmp_path / "data", n_train=8, n_val=1, n_test=1)
+    over = [f"datamodule.datasets.vb-train-16k.audio_path={tmp_path/'data'}"]
+    model, cfg = _tiny_model(over)
+    model.val_kwargs["main_loss"] = "val/score"
+    model.val_kwargs["main_loss_mode"] = "min"
+    dm = instantiate(cfg["datamodule"])
+    trainer = Trainer(model, dm, tmp_path / "run", max_steps=4,
+                      val_check_interval=2, checkpoint_every=2,
+                      log_every=10, max_val_batches=1, seed=0,
+                      mesh=make_mesh(dp=8), config=cfg)
+    trainer.fit()
+
+    ckpt_dir = tmp_path / "run" / "checkpoints"
+    with open(ckpt_dir / "index.json") as f:
+        index = {e["step"]: e for e in json.load(f)}
+    assert set(index) == {2, 4}
+    for e in index.values():
+        assert e["metric"] == "val/score"
+        assert np.isfinite(e["value"])
+        assert (tmp_path / "run" / e["path"]).exists() or \
+            (ckpt_dir / f"step_{e['step']:08d}").exists()
+    with open(ckpt_dir / "best.json") as f:
+        best = json.load(f)
+    assert best["value"] == min(e["value"] for e in index.values())
+    with open(ckpt_dir / "last.json") as f:
+        assert json.load(f)["step"] == 4
