@@ -550,3 +550,40 @@ def test_autoclip_parity():
                                    rtol=1e-5, err_msg=f"step {i}")
         np.testing.assert_allclose(np.asarray(clipped["w"]), ref_clipped[0],
                                    rtol=1e-4, atol=1e-7, err_msg=f"step {i}")
+
+
+@pytest.mark.parametrize("norm,ref_mode,level_db",
+                         [(2, "noisy", -26.0), (2, "both", -26.0),
+                          ("max", "noisy", 0.0), ("max", "both", -20.0)])
+def test_normalize_batch_parity(norm, ref_mode, level_db):
+    """utils.normalize_batch/denormalize_batch match the reference
+    (utils/norm.py:47-121) for every norm/ref combination the configs use —
+    isolated from the sampler goldens that exercise them end-to-end."""
+    ref_ns = load_reference()
+    rng = np.random.default_rng(7)
+    mix = (rng.standard_normal((2, 1, 4000)) * 0.3).astype(np.float32) + 0.05
+    tgt = (rng.standard_normal((2, 1, 4000)) * 0.2).astype(np.float32)
+
+    (mix_r, tgt_r), mean_r, std_r = ref_ns.utils.normalize_batch(
+        (torch.from_numpy(mix), torch.from_numpy(tgt)), norm=norm,
+        level_db=level_db, ref=ref_mode)
+
+    from open_universe_tpu import utils as my_utils
+
+    jmix = jnp.asarray(mix.transpose(0, 2, 1))
+    jtgt = jnp.asarray(tgt.transpose(0, 2, 1))
+    (mix_m, tgt_m), mean_m, std_m = my_utils.normalize_batch(
+        (jmix, jtgt), norm=norm, level_db=level_db, ref=ref_mode)
+
+    # rtol: the L2 gain accumulates 8000 squares in f32 — torch and XLA sum
+    # in different orders (norm='max' is exact)
+    np.testing.assert_allclose(mix_r.numpy(), _nchw(mix_m), rtol=5e-4,
+                               atol=1e-7)
+    np.testing.assert_allclose(tgt_r.numpy(), _nchw(tgt_m), rtol=5e-4,
+                               atol=1e-7)
+
+    back_r = ref_ns.utils.denormalize_batch(mix_r, mean_r, std_r)
+    back_m = my_utils.denormalize_batch(mix_m, mean_m, std_m)
+    np.testing.assert_allclose(back_r.numpy(), _nchw(back_m), rtol=5e-4,
+                               atol=1e-7)
+    np.testing.assert_allclose(back_r.numpy(), mix, atol=1e-5)
