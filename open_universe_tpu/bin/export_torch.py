@@ -8,7 +8,6 @@ reference implementation, so the exported weights.ckpt + config.yaml pair can
 be consumed by either framework's load_model.
 """
 import argparse
-import json
 import shutil
 import sys
 from pathlib import Path
@@ -22,7 +21,8 @@ def main(argv=None):
     parser.add_argument("run_dir", type=Path,
                         help="training run dir (with config.yaml + checkpoints/)")
     parser.add_argument("output", type=Path, help="output .ckpt path")
-    parser.add_argument("--step", type=int, help="checkpoint step (default last)")
+    parser.add_argument("--step", type=int, help="checkpoint step (default: "
+                        "best.json when present, else last.json)")
     args = parser.parse_args(argv)
 
     import jax
@@ -30,6 +30,7 @@ def main(argv=None):
     import torch
 
     from ..configs.registry import instantiate
+    from ..inference.model_loader import _resolve_orbax_step
     from ..inference.torch_convert import ordered_param_names, to_torch_state_dict
 
     with open(args.run_dir / "config.yaml") as f:
@@ -40,8 +41,7 @@ def main(argv=None):
     if args.step is not None:
         path = ckpt_dir / f"step_{args.step:08d}"
     else:
-        with open(ckpt_dir / "last.json") as f:
-            path = Path(json.load(f)["path"])
+        path, _ = _resolve_orbax_step(args.run_dir)
     with ocp.PyTreeCheckpointer() as ckptr:
         state = ckptr.restore(path.absolute())
 

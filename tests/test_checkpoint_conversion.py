@@ -149,3 +149,38 @@ def test_load_model_from_lightning_ckpt(tmp_path):
                          key=jax.random.key(0), n_steps=2)
     assert est.shape == (1, 320)
     assert np.isfinite(np.asarray(est)).all()
+
+
+def test_export_torch_roundtrip_from_trainer_run(tmp_path):
+    """bin/export_torch: a Trainer-saved orbax run exports to a
+    reference-layout torch .ckpt (best/last selection via model_loader), and
+    load_model on the export reproduces the run's enhance() output."""
+    from open_universe_tpu.bin.export_torch import main as export_main
+    from open_universe_tpu.inference.model_loader import load_model
+    from open_universe_tpu.parallel.mesh import make_mesh
+    from open_universe_tpu.train.trainer import Trainer
+
+    model = instantiate(TINY_GAN_CFG)
+    run = tmp_path / "run"
+    trainer = Trainer(model, None, run, max_steps=1, seed=0,
+                      mesh=make_mesh(dp=1), config={"model": TINY_GAN_CFG})
+    trainer.save(0)
+    trainer._wait_for_saves()
+
+    out_ckpt = tmp_path / "export" / "weights.ckpt"
+    rc = export_main([str(run), str(out_ckpt)])
+    assert rc == 0
+    assert out_ckpt.exists()
+    assert (out_ckpt.parent / "config.yaml").exists()
+
+    mix = np.asarray(
+        jax.random.normal(jax.random.key(1), (1, 800)) * 0.1, np.float32)
+    key = jax.random.key(2)
+
+    m_run, p_run = load_model(str(run))           # orbax run dir
+    m_exp, p_exp = load_model(str(out_ckpt))      # exported torch ckpt
+    out_run = np.asarray(m_run.enhance(p_run, jnp.asarray(mix), key=key,
+                                       n_steps=2))
+    out_exp = np.asarray(m_exp.enhance(p_exp, jnp.asarray(mix), key=key,
+                                       n_steps=2))
+    np.testing.assert_allclose(out_run, out_exp, atol=2e-5)
