@@ -103,15 +103,34 @@ _EDM_PREFIX = re.compile(r"^_edm_model\.")
 
 
 def normalize_key(key: str) -> str:
-    """Map reference naming variants onto our tree."""
+    """Map reference naming variants onto our tree (the `_edm_model.` prefix
+    of EDM-wrapped checkpoints lands on our `score_model` subtree; module
+    paths otherwise mirror the torch state_dict names one-to-one)."""
     key = _EDM_PREFIX.sub("score_model.", key)
-    # Sequential(AA, PReLU_Conv) shortcut convs: params live under index 1
     return key
+
+
+def _lookup_module(index: Dict[str, Any], mod_path: str):
+    """Find the module owning ``mod_path``, resolving the LoRA nesting: the
+    reference wraps layers so the original module's params live under
+    ``<path>.conv`` (LoraConv1d/LoraConvTranspose1d) or ``<path>.linear``
+    (LoraLinear), while our tree keeps them on the parent module."""
+    module = index.get(mod_path)
+    if module is None:
+        for nest in (".conv", ".linear"):
+            if mod_path.endswith(nest):
+                parent = index.get(mod_path[: -len(nest)])
+                from ..nn.lora import LORA_TYPES
+
+                if isinstance(parent, LORA_TYPES):
+                    return parent
+    return module
 
 
 def convert_state_dict(model: Module, state_dict: Dict[str, Any],
                        strict: bool = False):
-    """Returns (params, skipped_keys, missing_report)."""
+    """Returns (params, skipped_keys); skipped_keys are recomputed buffers
+    (or, with strict=False, keys with no module in our tree)."""
     index = _module_index(model)
     params: Dict[str, Any] = {}
     skipped: List[str] = []
@@ -122,16 +141,7 @@ def convert_state_dict(model: Module, state_dict: Dict[str, Any],
             skipped.append(key)
             continue
         mod_path, _, leaf = key_n.rpartition(".")
-        module = index.get(mod_path)
-        for nest in (".conv", ".linear"):
-            # LoRA-wrapped layer: torch nests the original module under
-            # .conv (LoraConv1d/LoraConvTranspose1d) or .linear (LoraLinear)
-            if module is None and mod_path.endswith(nest):
-                parent = index.get(mod_path[: -len(nest)])
-                from ..nn.lora import LORA_TYPES
-
-                if isinstance(parent, LORA_TYPES):
-                    module = parent
+        module = _lookup_module(index, mod_path)
         if module is None:
             skipped.append(key)
             if strict:
@@ -171,7 +181,7 @@ def apply_ema_shadow(model: Module, params: Dict[str, Any],
     for key, value in zip(names, shadow_params):
         key_n = normalize_key(key)
         mod_path, _, leaf = key_n.rpartition(".")
-        module = index.get(mod_path)
+        module = _lookup_module(index, mod_path)  # incl. LoRA .conv/.linear
         if module is None:
             raise KeyError(f"no module at {mod_path!r} for EMA key {key!r}")
         arr = convert_leaf(module, leaf, value)

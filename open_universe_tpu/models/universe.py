@@ -37,6 +37,22 @@ def _cfg(d: Optional[Dict[str, Any]], **defaults) -> Dict[str, Any]:
     return out
 
 
+def finite_or_skip(loss_fn, est):
+    """Jit-safe analog of the reference's eager per-step isnan skip
+    (universe.py:526-539).  A plain ``where`` on a non-finite loss still
+    back-propagates NaN — the zero cotangent multiplies inf/NaN partials
+    saved from the bad forward — so when the loss is non-finite it is
+    recomputed at zeroed estimates (finite partials; the input ``where``
+    zeroes the gradient into the network) and gated out of the total
+    (double-where).  Uses isfinite rather than isnan: an inf loss would
+    otherwise make the total inf.  Returns (term for the total, raw value
+    for metrics)."""
+    raw = loss_fn(est)
+    bad = ~jnp.isfinite(raw)
+    safe = loss_fn(jnp.where(bad, jnp.zeros_like(est), est))
+    return jnp.where(bad, 0.0, safe), raw
+
+
 def randn_sigma(key, shape, sigma, dtype=jnp.float32):
     """Noise scaled per-batch by sigma: (B,) -> (B, T, C)."""
     z = jax.random.normal(key, shape, dtype)
@@ -330,21 +346,22 @@ class Universe(Module):
             mel_target = self.condition_model.input_mel.compute_mel_spec(target_aux)
             norm = jnp.sqrt(jnp.sum(mel_target**2, axis=(-2, -1), keepdims=True))
             mel_target = mel_target / jnp.maximum(norm, 1e-5)
-            l_latent = self.loss_latent(params["loss_latent"], h_est, mel_target)
+            l_latent_term, l_latent = finite_or_skip(
+                lambda e: self.loss_latent(params["loss_latent"], e,
+                                           mel_target), h_est)
         else:
-            l_latent = zero
+            l_latent_term = l_latent = zero
 
         if weights.get("signal", 0.0) > 0.0:
-            l_signal = self.loss_signal(params["loss_signal"], y_est,
-                                        target_aux_trans)
+            l_signal_term, l_signal = finite_or_skip(
+                lambda e: self.loss_signal(params["loss_signal"], e,
+                                           target_aux_trans), y_est)
         else:
-            l_signal = zero
+            l_signal_term = l_signal = zero
 
-        loss = weights.get("score", 1.0) * l_score
-        loss = loss + jnp.where(jnp.isnan(l_signal), 0.0,
-                                weights.get("signal", 0.0) * l_signal)
-        loss = loss + jnp.where(jnp.isnan(l_latent), 0.0,
-                                weights.get("latent", 0.0) * l_latent)
+        loss = (weights.get("score", 1.0) * l_score
+                + weights.get("signal", 0.0) * l_signal_term
+                + weights.get("latent", 0.0) * l_latent_term)
         return loss, l_score, l_signal, l_latent, time
 
     def training_losses(self, params: Params, key, mix, target,
@@ -463,6 +480,10 @@ class Universe(Module):
                 target = target[None, :, None]
             elif target.ndim == 2:
                 target = target[:, :, None]
+            if ensemble is not None:
+                # the mix was ensemble-tiled above; the fake-score target
+                # must follow or normalize_batch broadcasts (E*B) vs (B)
+                target = jnp.tile(target, (ensemble, 1, 1))
             target, _ = self.pad(target, pad=pad)
 
         (mix, target), *_ = self.normalize_batch((mix, target))
@@ -490,11 +511,16 @@ class Universe(Module):
         # OPEN_UNIVERSE_PACKED=1/0 overrides.
         import os
 
-        env = os.environ.get("OPEN_UNIVERSE_PACKED")
-        if env in ("0", "1"):
-            packed = env == "1"
-        elif packed is None:
-            packed = mix.shape[0] <= 64
+        # precedence: explicit packed= argument > OPEN_UNIVERSE_PACKED env >
+        # batch-size auto policy.  NOTE the env var is read at TRACE time —
+        # it is baked into the jit cache; changing it after a compile has no
+        # effect on already-compiled shapes.
+        if packed is None:
+            env = os.environ.get("OPEN_UNIVERSE_PACKED")
+            if env in ("0", "1"):
+                packed = env == "1"
+            else:
+                packed = mix.shape[0] <= 64
         packed = (packed
                   and self.score_model.packed_eligible(mix.shape[1])
                   and self.condition_model.packed_eligible(mix.shape[1])

@@ -158,11 +158,16 @@ class UniverseGAN(Universe):
 
     def generator_losses(self, disc_params: Params, gen_out: Dict[str, Any],
                          target_original, step, adversarial_on,
-                         aux_loss_weight: Optional[jax.Array] = None):
+                         aux_loss_weight: Optional[jax.Array] = None,
+                         adversarial: bool = True):
         """Score MSE + weighted mel L1 + aux + adversarial/feature terms.
 
         adversarial_on: traced bool (step >= disc_freeze_step).
         aux_loss_weight: traced warmup weight in [0, 1] or None when no aux.
+        adversarial: STATIC flag — False omits the MPD/MRD forwards entirely
+        (the disc-freeze-phase step function; a traced adversarial_on=False
+        alone would still pay the full discriminator compute and gate the
+        result to zero).
         """
         w = self.losses_kwargs.get("weights", {})
         sigma = gen_out["sigma"]
@@ -176,26 +181,30 @@ class UniverseGAN(Universe):
         else:
             loss_aux = jnp.zeros((), l_score.dtype)
 
-        y_est = gen_out["y_est"]
-        dt = self._train_dtype()
-        if dt is not None:
-            disc_params = self._cast_tree(disc_params, dt)
-            y_est = y_est.astype(dt)
-            target_original = target_original.astype(dt)
+        if adversarial:
+            y_est = gen_out["y_est"]
+            dt = self._train_dtype()
+            if dt is not None:
+                disc_params = self._cast_tree(disc_params, dt)
+                y_est = y_est.astype(dt)
+                target_original = target_original.astype(dt)
 
-        def _f32(seq):
-            return [jax.tree_util.tree_map(
-                lambda a: a.astype(jnp.float32), s) for s in seq]
+            def _f32(seq):
+                return [jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.float32), s) for s in seq]
 
-        y_df_r, y_df_g, fmap_f_r, fmap_f_g = self.loss_mpd(
-            disc_params["loss_mpd"], target_original, y_est)
-        loss_fm_f = feature_loss(_f32(fmap_f_r), _f32(fmap_f_g))
-        loss_gen_f, _ = generator_loss(_f32(y_df_g))
+            y_df_r, y_df_g, fmap_f_r, fmap_f_g = self.loss_mpd(
+                disc_params["loss_mpd"], target_original, y_est)
+            loss_fm_f = feature_loss(_f32(fmap_f_r), _f32(fmap_f_g))
+            loss_gen_f, _ = generator_loss(_f32(y_df_g))
 
-        y_ds_r, y_ds_g, fmap_s_r, fmap_s_g = self.loss_mrd(
-            disc_params["loss_mrd"], target_original, y_est)
-        loss_fm_s = feature_loss(_f32(fmap_s_r), _f32(fmap_s_g))
-        loss_gen_s, _ = generator_loss(_f32(y_ds_g))
+            y_ds_r, y_ds_g, fmap_s_r, fmap_s_g = self.loss_mrd(
+                disc_params["loss_mrd"], target_original, y_est)
+            loss_fm_s = feature_loss(_f32(fmap_s_r), _f32(fmap_s_g))
+            loss_gen_s, _ = generator_loss(_f32(y_ds_g))
+        else:
+            zero = jnp.zeros((), l_score.dtype)
+            loss_fm_f = loss_gen_f = loss_fm_s = loss_gen_s = zero
 
         loss = (l_score * w.get("score", 1.0)
                 + loss_mel * w.get("mel_l1", 45.0)

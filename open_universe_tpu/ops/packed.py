@@ -157,8 +157,12 @@ def packed_strided_conv(
     x_rows: (B, R1, P1*C1); w: (K, C1, C2); returns (B, R2, P2*C2) with
     R2 = T2/P2, T2 = (T1 + 2*pad - K)//stride + 1 (must divide exactly).
     aa_filter: optional binomial low-pass applied (conceptually) to the
-    samples before the conv — folded into the taps here."""
+    samples before the conv — folded into the taps here.  The fold is exact
+    only at pad=0 (all call sites, nn/blocks.py): with pad>0 the folded
+    kernel reads zero-padding where the unfused LPF would read 'same'-padded
+    zeros at a different offset, so the (kf-1)//2 boundary outputs differ."""
     if aa_filter is not None:
+        assert pad == 0, "aa_filter folding is only exact at pad=0"
         w, extra = _compose_lowpass_before(w, aa_filter)
         pad = pad + extra
     k, c1, c2 = w.shape
@@ -188,8 +192,11 @@ def packed_transposed_conv(
     """Transposed conv (torch ConvTranspose1d semantics, our flipped weight
     layout) on packed rows; x_rows (B, R1, P1*C1) -> (B, R2, P2*C2) with
     T2 = (T1-1)*stride - 2*pad + K.  aa_filter: optional low-pass applied
-    after the transposed conv — folded into the taps."""
+    after the transposed conv — folded into the taps.  Exact only at pad=0
+    (all call sites): with pad>0 the real op crops before the LPF while the
+    fold low-passes before the crop, so the boundary outputs differ."""
     if aa_filter is not None:
+        assert pad == 0, "aa_filter folding is only exact at pad=0"
         w, extra = _compose_lowpass_after_transposed(w, aa_filter)
         pad = pad + extra
     k, c1, c2 = w.shape

@@ -115,8 +115,16 @@ def make_train_step(model: Universe, tx, clipper=None):
 
 
 def make_gan_train_step(model: UniverseGAN, tx_gen, tx_disc,
-                        grad_clip_vals: Optional[dict] = None):
-    """UNIVERSE++ adversarial step (two optimizers, reference ordering)."""
+                        grad_clip_vals: Optional[dict] = None,
+                        disc_frozen: bool = False):
+    """UNIVERSE++ adversarial step (two optimizers, reference ordering).
+
+    disc_frozen: STATIC variant for the warmup phase (step <
+    losses.disc_freeze_step) — skips the MPD/MRD forwards, backward and
+    optimizer update entirely instead of computing them and where-gating
+    the result away (the disc convs are the compute floor of the full
+    step).  The Trainer picks between the two compiled functions from the
+    host-side step counter."""
     ema_decay = model.train_kwargs.get("ema_decay", 0.0)
     nan_guard = model.train_kwargs.get("nan_guard", False)
     gen_keys = list(model.model_param_keys())
@@ -155,31 +163,39 @@ def make_gan_train_step(model: UniverseGAN, tx_gen, tx_disc,
         gen_out, gen_vjp = jax.vjp(gfwd, gen_params)
 
         # ---------------- discriminator update (on detached y_est) ----------
-        y_sg = jax.lax.stop_gradient(gen_out["y_est"])
         disc_params = {k: params[k] for k in disc_keys}
+        if disc_frozen:
+            zero = jnp.zeros(())
+            l_disc, d_metrics = zero, {}
+            gnorm_mpd = gnorm_mrd = zero
+            disc_params_new = disc_params
+            disc_opt_new = state["disc_opt_state"]
+            adv_on = False
+        else:
+            y_sg = jax.lax.stop_gradient(gen_out["y_est"])
 
-        def dloss(dp):
-            return model.discriminator_losses(dp, y_sg, target_original)
+            def dloss(dp):
+                return model.discriminator_losses(dp, y_sg, target_original)
 
-        (l_disc, d_metrics), d_grads = jax.value_and_grad(
-            dloss, has_aux=True)(disc_params)
+            (l_disc, d_metrics), d_grads = jax.value_and_grad(
+                dloss, has_aux=True)(disc_params)
 
-        d_grads, gnorm_mpd = clip_subtree_by_norm(
-            d_grads, ["loss_mpd"], clip_vals.get("mpd", 1000.0))
-        d_grads, gnorm_mrd = clip_subtree_by_norm(
-            d_grads, ["loss_mrd"], clip_vals.get("mrd", 1000.0))
+            d_grads, gnorm_mpd = clip_subtree_by_norm(
+                d_grads, ["loss_mpd"], clip_vals.get("mpd", 1000.0))
+            d_grads, gnorm_mrd = clip_subtree_by_norm(
+                d_grads, ["loss_mrd"], clip_vals.get("mrd", 1000.0))
 
-        adv_on = step >= freeze_step
-        d_updates, disc_opt_new = tx_disc.update(
-            d_grads, state["disc_opt_state"], disc_params)
-        disc_params_new = optax.apply_updates(disc_params, d_updates)
-        # freeze gate: keep old params/opt-state until freeze_step
-        disc_params_new = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(adv_on, new, old),
-            disc_params_new, disc_params)
-        disc_opt_new = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(adv_on, new, old),
-            disc_opt_new, state["disc_opt_state"])
+            adv_on = step >= freeze_step
+            d_updates, disc_opt_new = tx_disc.update(
+                d_grads, state["disc_opt_state"], disc_params)
+            disc_params_new = optax.apply_updates(disc_params, d_updates)
+            # freeze gate: keep old params/opt-state until freeze_step
+            disc_params_new = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(adv_on, new, old),
+                disc_params_new, disc_params)
+            disc_opt_new = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(adv_on, new, old),
+                disc_opt_new, state["disc_opt_state"])
 
         # ---------------- generator update (vs updated discriminator) -------
         if aux_warmup > 0:
@@ -190,7 +206,8 @@ def make_gan_train_step(model: UniverseGAN, tx_gen, tx_disc,
         def gloss(go):
             return model.generator_losses(
                 jax.lax.stop_gradient(disc_params_new), go, target_original,
-                step, adv_on, aux_loss_weight=aux_w)
+                step, adv_on, aux_loss_weight=aux_w,
+                adversarial=not disc_frozen)
 
         (l_gen, g_metrics), g_out_grads = jax.value_and_grad(
             gloss, has_aux=True)(gen_out)

@@ -147,6 +147,18 @@ class Trainer:
                 model, self.tx, self.tx_disc,
                 grad_clip_vals=opt.get("grad_clip_vals", {})),
                 donate_argnums=(0,))
+            # warmup phase (step < disc_freeze_step): a separate compiled
+            # step that OMITS the discriminator compute — the disc convs are
+            # the compute floor of the full step, and the full step would
+            # pay them only to where-gate the result away.  Selected from
+            # the host-side step counter in fit(); crossing the boundary
+            # compiles the full step once.
+            self._step_fn_frozen = None
+            if model.disc_freeze_step > 0:
+                self._step_fn_frozen = jax.jit(make_gan_train_step(
+                    model, self.tx, self.tx_disc,
+                    grad_clip_vals=opt.get("grad_clip_vals", {}),
+                    disc_frozen=True), donate_argnums=(0,))
         else:
             opt = dict(model.opt_kwargs or {})
             sched = _build_schedule(model.schedule_kwargs, opt.get("lr", 2e-4),
@@ -253,8 +265,12 @@ class Trainer:
                     jax.profiler.start_trace(str(self.output_dir / "profile"))
                 adaptive = ({"pr_cum": self.pr_cum, "bins": self.val_bins}
                             if self._adaptive_mode else None)
-                self.state, metrics = self._step_fn(self.state, jbatch, sub,
-                                                    adaptive)
+                step_fn = self._step_fn
+                if (getattr(self, "_step_fn_frozen", None) is not None
+                        and step < self.model.disc_freeze_step):
+                    step_fn = self._step_fn_frozen
+                self.state, metrics = step_fn(self.state, jbatch, sub,
+                                              adaptive)
                 step += 1
                 if self.profile_steps and step == self.profile_steps[1]:
                     jax.tree_util.tree_map(

@@ -184,3 +184,29 @@ def test_export_torch_roundtrip_from_trainer_run(tmp_path):
     out_exp = np.asarray(m_exp.enhance(p_exp, jnp.asarray(mix), key=key,
                                        n_steps=2))
     np.testing.assert_allclose(out_run, out_exp, atol=2e-5)
+
+
+def test_apply_ema_shadow_lora_nested_keys():
+    """apply_ema_shadow resolves the reference LoRA nesting — a wrapped
+    layer's params live under <path>.conv / <path>.linear in the torch
+    state_dict — the same way convert_state_dict does.  EMA-bearing LoRA
+    fine-tune checkpoints used to crash here with 'no module at ...conv'."""
+    from open_universe_tpu.inference.torch_convert import apply_ema_shadow
+
+    model = instantiate(TINY_GAN_CFG)
+    params = model.init(jax.random.key(0))
+    sd = to_torch_state_dict(model, params, edm=True)
+    key = next(k for k in sd
+               if k.startswith("_edm_model.") and k.endswith("conv.weight")
+               and k.replace(".weight", ".weight_g") not in sd)
+    nested = key.replace(".weight", ".conv.weight")
+    sd[nested] = sd.pop(key)
+
+    params2, _ = convert_state_dict(model, sd)
+    shadow = [np.full_like(np.asarray(sd[nested]), 7.0)]
+    out = apply_ema_shadow(model, params2, {nested: sd[nested]}, shadow,
+                           ["_edm_model"])
+    node = out
+    for part in nested.replace("_edm_model.", "score_model.").split(".")[:-1]:
+        node = node[part]
+    assert np.all(np.asarray(node["weight"]) == 7.0)

@@ -248,3 +248,60 @@ def test_nan_guard_rolls_back_update():
     # a following good batch trains normally again
     state3, m3 = step(state2, good, jax.random.key(4))
     assert float(m3["train/update_skipped"]) == 0.0
+
+
+def test_frozen_disc_step_matches_full_step():
+    """The disc-freeze-phase step function (disc_frozen=True, no MPD/MRD
+    compute at all) produces the same generator update and untouched
+    discriminator state as the full step where-gating the adversarial terms
+    off — at half-ish the cost (the disc convs are the step's compute
+    floor)."""
+    score, cond = _nets(use_weight_norm=True, use_antialiasing=True,
+                        time_embedding="simple")
+    model = UniverseGAN(
+        fs=FS, score_model=score, condition_model=cond,
+        losses={
+            "multi_period_discriminator": {"mpd_reshapes": [2, 3],
+                                           "discriminator_channel_mult": 0.25},
+            "multi_resolution_discriminator": {
+                "resolutions": [[128, 30, 75], [256, 60, 150], [64, 12, 30]],
+                "discriminator_channel_mult": 0.25},
+            "weights": {"mel_l1": 45.0, "score": 1.0},
+            "use_signal_decoupling": True,
+            "signal_decoupling_act": "snake",
+            "disc_freeze_step": 100,  # both steps run in the frozen phase
+        },
+        training={"audio_len": T / FS, "time_sampling": "time_normal_0.95",
+                  "ema_decay": 0.999},
+        normalization_kwargs={"ref": "both", "level_db": -26.0},
+        edm={"noise": 0.25},
+    )
+    params = model.init(jax.random.key(0))
+    tx_gen = adamw(2e-4,
+                   params={k: params[k] for k in model.model_param_keys()})
+    tx_disc = adamw(2e-4, weight_decay=0.0)
+    state = init_train_state(model, params, tx_gen, disc_tx=tx_disc)
+    batch = _batch(jax.random.key(1), b=2)
+    key = jax.random.key(2)
+
+    full = jax.jit(make_gan_train_step(model, tx_gen, tx_disc))
+    frozen = jax.jit(make_gan_train_step(model, tx_gen, tx_disc,
+                                         disc_frozen=True))
+    s_full, m_full = full(jax.tree.map(jnp.copy, state), batch, key)
+    s_frozen, m_frozen = frozen(state, batch, key)
+
+    # generator updates identical (adversarial grads are exactly zero in the
+    # gated full step); discriminator params untouched in both
+    for k in model.model_param_keys():
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8),
+            s_full["params"][k], s_frozen["params"][k])
+    for k in model.disc_param_keys():
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            s_frozen["params"][k], params[k])
+    np.testing.assert_allclose(float(m_full["train/loss_gen"]),
+                               float(m_frozen["train/loss_gen"]), rtol=1e-6)
+    assert "train/loss_disc" not in m_frozen  # no disc compute at all

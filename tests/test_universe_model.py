@@ -247,3 +247,56 @@ def test_mdn_blowup_keeps_grads_finite():
     bad = [np.asarray(g) for g in jax.tree.leaves(grads)
            if not np.isfinite(np.asarray(g)).all()]
     assert not bad, f"{len(bad)} non-finite grad leaves"
+
+
+def test_finite_or_skip_blocks_nan_gradients():
+    """finite_or_skip (models/universe.py): a plain where on a non-finite
+    loss still back-propagates NaN — the zero cotangent multiplies the
+    inf/NaN partials saved from the bad forward.  The double-where recompute
+    keeps both the value and every gradient finite, and is the identity on
+    the finite path."""
+    from open_universe_tpu.models.universe import finite_or_skip
+
+    def loss_fn(e):  # NaN value AND NaN partials for e < -1
+        return jnp.sum(jnp.sqrt(e + 1.0))
+
+    bad_est = -2.0 * jnp.ones(4)
+
+    def plain_where(e):
+        raw = loss_fn(e)
+        return jnp.where(jnp.isnan(raw), 0.0, raw)
+
+    _, g_plain = jax.value_and_grad(plain_where)(bad_est)
+    assert not np.isfinite(np.asarray(g_plain)).all()  # the trap is real
+
+    def guarded(e):
+        term, _ = finite_or_skip(loss_fn, e)
+        return term
+
+    v, g = jax.value_and_grad(guarded)(bad_est)
+    assert float(v) == 0.0
+    np.testing.assert_array_equal(np.asarray(g), np.zeros(4))
+
+    ok_est = jnp.ones(4)
+    v_ok, g_ok = jax.value_and_grad(guarded)(ok_est)
+    np.testing.assert_allclose(float(v_ok), float(loss_fn(ok_est)))
+    assert np.isfinite(np.asarray(g_ok)).all()
+    # raw (metrics) value reports the unguarded loss
+    _, raw = finite_or_skip(loss_fn, bad_est)
+    assert np.isnan(float(raw))
+
+
+def test_enhance_ensemble_with_target_probe():
+    """Regression: enhance(target=..., ensemble=N) crashed for batch > 1 —
+    the mix was ensemble-tiled but the fake-score target was not, so
+    normalize_batch broadcast (N*B) stats against (B) signals."""
+    model = _make_universe()
+    params = model.init(jax.random.key(0))
+    mix = jax.random.normal(jax.random.key(1), (2, T, 1)) * 0.1
+    target = mix * 0.7
+    out = model.enhance(params, mix[:, :, 0], key=jax.random.key(2),
+                        n_steps=2, target=target[:, :, 0],
+                        fake_score_snr=20.0, ensemble=3,
+                        ensemble_stat="median")
+    assert out.shape == (2, T)
+    assert np.isfinite(np.asarray(out)).all()
