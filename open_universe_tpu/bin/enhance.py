@@ -17,7 +17,13 @@ from pathlib import Path
 
 import numpy as np
 
-from ..data.audio import AUDIO_EXTS, load_audio, resample_audio, save_audio
+from ..data.audio import (
+    AUDIO_EXTS,
+    audio_duration,
+    load_audio,
+    resample_audio,
+    save_audio,
+)
 from ..inference.model_loader import DEFAULT_MODEL, load_model
 from ..inference.signature_to_parser import add_enhance_arguments
 
@@ -44,11 +50,15 @@ def find_files(input_path: Path):
 
 
 def _bucket(files, fs_model, batch_size, quantum):
-    """Group files into (bucket_len, [paths...]) batches of equal padding."""
+    """Group files into (bucket_len, [paths...]) batches of equal padding.
+
+    Uses header-only duration probes (audio_duration) — a full decode here
+    would decode every file twice per run (the pure-Python FLAC fallback
+    makes that the dominant cost on a small host)."""
     infos = []
     for p in files:
-        audio, fs = load_audio(p)
-        t_model = int(np.ceil(audio.shape[-1] * fs_model / fs))
+        n, fs = audio_duration(p)
+        t_model = int(np.ceil(n * fs_model / fs))
         bucket = int(np.ceil(t_model / quantum)) * quantum
         infos.append((bucket, p))
     infos.sort(key=lambda x: (x[0], str(x[1])))
@@ -147,6 +157,7 @@ def main(argv=None):
         lambda p, mix, key: model.enhance(p, mix, key=key, **enhance_kwargs))
 
     n_done = 0
+    total_audio = 0.0
     t0 = time.perf_counter()
     for bucket_len, group in batches:
         mixes, lengths, rates = [], [], []
@@ -157,12 +168,16 @@ def main(argv=None):
             mixes.append(audio[0])
             lengths.append(audio.shape[-1])
             rates.append(fs)
-        batch = np.zeros((len(group), bucket_len), np.float32)
+        # pad the batch dimension too: a bucket's tail group would otherwise
+        # be a fresh XLA shape -> a fresh compile per bucket
+        rows = args.batch_size if len(group) < args.batch_size else len(group)
+        batch = np.zeros((rows, bucket_len), np.float32)
         for i, m in enumerate(mixes):
             batch[i, : len(m)] = m
 
         key, sub = jax.random.split(key)
-        enh = np.asarray(jit_enhance(params, batch, sub))
+        enh = np.asarray(jit_enhance(params, batch, sub))[: len(group)]
+        total_audio += sum(lengths) / model.fs
 
         for i, path in enumerate(group):
             out = enh[i, : lengths[i]]
@@ -181,7 +196,8 @@ def main(argv=None):
               f"x{len(group)}", file=sys.stderr)
 
     dt = time.perf_counter() - t0
-    total_audio = sum(b * len(g) for b, g in batches) / model.fs
+    # actual clip seconds, not padded bucket seconds — the realtime factor
+    # would otherwise be overstated by the padding ratio
     print(f"enhanced {n_done} files ({total_audio:.1f}s audio) in {dt:.1f}s "
           f"({total_audio / dt:.1f}x realtime)", file=sys.stderr)
     return 0

@@ -40,7 +40,11 @@ def summarize(results, ignore_inf=True):
             if isinstance(val, str):
                 continue
             metrics.add(met)
-            if ignore_inf or not np.isinf(val):
+            # quirk intentionally FIXED: the reference's condition
+            # `ignore_inf or not isinf` (eval_metrics.py:67) is inverted —
+            # with its default ignore_inf=True it INCLUDES inf values and one
+            # inf file makes the whole mean inf/nan
+            if not ignore_inf or not np.isinf(val):
                 summary[met] += val
                 denom[met] += 1
         summary["number"] += 1
@@ -57,28 +61,45 @@ def prepare(ref_path, deg_path, results_path):
     if results_path.exists():
         with open(results_path) as f:
             results = json.load(f)
-    # the reference collects *.wav only (reference bin/eval_metrics.py:86);
-    # we also accept the other containers the enhance CLI can emit
-    paths = {}
-    for ext in _AUDIO_EXTS:
-        for p in deg_path.rglob(f"*{ext}"):
-            if p.stem in paths:
-                # results are keyed by stem; two containers with the same
-                # stem would silently shadow each other
-                print(f"warning: duplicate stem {p.stem!r}: keeping "
-                      f"{paths[p.stem]['deg'].name}, ignoring {p.name}",
+    # the reference collects *.wav only and keys by bare stem
+    # (reference bin/eval_metrics.py:86); we also accept the other containers
+    # the enhance CLI can emit, keep nested trees (the enhance CLI preserves
+    # input structure), and fall back to relative-path keys when two files
+    # share a stem instead of dropping one
+    by_rel = {}
+    for ext in _AUDIO_EXTS:  # earlier extension wins for a stem+dir pair
+        for p in sorted(deg_path.rglob(f"*{ext}")):
+            rel = p.relative_to(deg_path).with_suffix("")
+            if rel in by_rel:
+                print(f"warning: duplicate containers for {rel}: keeping "
+                      f"{by_rel[rel].name}, ignoring {p.name}",
                       file=sys.stderr)
                 continue
-            paths[p.stem] = {"deg": p, "ref": None}
+            by_rel[rel] = p
+    stem_counts = defaultdict(int)
+    for rel in by_rel:
+        stem_counts[rel.name] += 1
+    paths = {}
+    for rel, p in by_rel.items():
+        label = rel.name if stem_counts[rel.name] == 1 else rel.as_posix()
+        paths[label] = {"deg": p, "ref": None, "rel": rel}
     if ref_path is not None:
         for label, pd in paths.items():
-            # prefer a reference in the same container as the degraded file
+            # prefer a reference in the same container as the degraded file;
+            # try the mirrored subtree first, then flat by stem (the
+            # reference's rule)
             exts = [pd["deg"].suffix] + [e for e in _AUDIO_EXTS
                                          if e != pd["deg"].suffix]
-            for ext in exts:
-                rp = ref_path / f"{label}{ext}"
-                if rp.exists():
-                    pd["ref"] = rp
+            bases = [pd["rel"].as_posix()]
+            if pd["rel"].name != bases[0]:
+                bases.append(pd["rel"].name)
+            for base in bases:
+                for ext in exts:
+                    rp = ref_path / f"{base}{ext}"
+                    if rp.exists():
+                        pd["ref"] = rp
+                        break
+                if pd["ref"] is not None:
                     break
     missing = [lbl for lbl in results if lbl not in paths]
     if missing:
@@ -214,8 +235,11 @@ def main(argv=None):
         import multiprocessing as mp
         from concurrent.futures import ProcessPoolExecutor, as_completed
 
+        metric_names = args.metrics or Metrics.get_metric_names()
+        # rerun fast path: fully-scored files skip audio decode entirely
         tasks = [(lbl, paths[lbl], set(results[lbl].keys()))
-                 for lbl in sorted(results)]
+                 for lbl in sorted(results)
+                 if Metrics.remaining(metric_names, results[lbl].keys())]
         with ProcessPoolExecutor(
                 max_workers=n_workers, mp_context=mp.get_context("spawn"),
                 initializer=_worker_init,
@@ -233,8 +257,11 @@ def main(argv=None):
                     print(f"[{n + 1}/{len(results)}]", file=sys.stderr)
     else:
         computer = Metrics(metrics=args.metrics)
+        metric_names = args.metrics or Metrics.get_metric_names()
         for n, label in enumerate(sorted(results)):
             skip = set(results[label].keys())
+            if not Metrics.remaining(metric_names, skip):
+                continue  # fully scored: skip the audio decode too
             try:
                 fs, deg, ref = load_files(paths[label])
                 results[label].update(computer(fs, deg, ref, skip_list=skip))

@@ -58,6 +58,62 @@ def load_audio(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
     return np.ascontiguousarray(data.T), int(fs)
 
 
+def audio_duration(path: Union[str, Path]) -> Tuple[int, int]:
+    """Returns (n_samples, sample_rate) from container headers only — no
+    decode.  wav: RIFF fmt/data chunk walk; flac: STREAMINFO.  mp3 (and
+    anything else) falls back to a full decode (frame-header walking would
+    misreport VBR streams without a Xing header)."""
+    path = Path(path)
+    suffix = path.suffix.lower()
+    if suffix == ".wav":
+        import struct
+
+        with open(path, "rb") as f:
+            riff = f.read(12)
+            if len(riff) < 12 or riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
+                raise ValueError(f"{path} is not a RIFF/WAVE file")
+            fs = None
+            block_align = None
+            while True:
+                hdr = f.read(8)
+                if len(hdr) < 8:
+                    break
+                cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+                if cid == b"fmt ":
+                    fmt = f.read(size + (size & 1))
+                    fs = struct.unpack("<I", fmt[4:8])[0]
+                    block_align = struct.unpack("<H", fmt[12:14])[0]
+                elif cid == b"data":
+                    if fs is None or not block_align:
+                        raise ValueError(f"{path}: data chunk before fmt")
+                    return size // block_align, int(fs)
+                else:
+                    f.seek(size + (size & 1), 1)
+        raise ValueError(f"{path}: no data chunk found")
+    if suffix == ".flac":
+        with open(path, "rb") as f:
+            if f.read(4) != b"fLaC":
+                raise ValueError(f"{path} is not a FLAC file")
+            while True:
+                hdr = f.read(4)
+                if len(hdr) < 4:
+                    raise ValueError(f"{path}: missing STREAMINFO")
+                last, btype = hdr[0] & 0x80, hdr[0] & 0x7F
+                size = int.from_bytes(hdr[1:4], "big")
+                body = f.read(size)
+                if btype == 0:  # STREAMINFO
+                    bits = int.from_bytes(body[10:18], "big")
+                    fs = (bits >> 44) & 0xFFFFF
+                    total = bits & ((1 << 36) - 1)
+                    if total:
+                        return int(total), int(fs)
+                    break  # unknown length: decode
+                if last:
+                    break
+    audio, fs = load_audio(path)
+    return int(audio.shape[-1]), int(fs)
+
+
 def save_audio(path: Union[str, Path], audio: np.ndarray, fs: int):
     """audio: (channels, T) or (T,) float32. Container chosen by suffix."""
     path = Path(path)

@@ -158,22 +158,44 @@ class DataLoader:
         batches = self._index_batches()
         self.epoch += 1
 
+        stop = threading.Event()
+
+        def _put(q, item) -> bool:
+            # bounded put that gives up when the consumer abandoned the
+            # iterator (validation breaks out at max_val_batches every pass;
+            # a plain q.put would strand this thread + its batches forever)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce(q: queue.Queue):
             try:
                 for b in batches:
                     rows = [self.dataset.__getitem__(i, rng=rng) for i in b]
-                    q.put(collate(rows, self.bucket_quantum))
-            finally:
-                q.put(None)
+                    if not _put(q, (collate(rows, self.bucket_quantum), None)):
+                        return
+            except BaseException as e:  # propagate, don't truncate the epoch
+                _put(q, (None, e))
+            else:
+                _put(q, (None, None))
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         t = threading.Thread(target=produce, args=(q,), daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            yield item
+        try:
+            while True:
+                item, err = q.get()
+                if err is not None:
+                    raise err
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()  # GeneratorExit from an abandoned iterator lands here
 
 
 class DataModule:

@@ -29,12 +29,23 @@ import numpy as np
 
 
 def _crossfade_window(chunk: int, ov: int) -> np.ndarray:
-    """Raised-cosine ramps of length ``ov`` at both ends, flat middle."""
+    """Raised-cosine ramps of length ``ov`` at both ends, flat middle.
+
+    Built as the PRODUCT of an up-ramp and a down-ramp so the window stays
+    smooth when ov > chunk/2 (the two ramps then overlap; sequential
+    assignment would overwrite part of the head ramp and leave a
+    mid-overlap jump).  For ov <= chunk/2 the product equals the classic
+    ramp/flat/ramp window.  Weight normalization in the blender handles the
+    non-unity overlap sums either way."""
     w = np.ones(chunk, np.float32)
     if ov > 0:
-        ramp = 0.5 - 0.5 * np.cos(np.pi * (np.arange(ov) + 0.5) / ov)
-        w[:ov] = ramp
-        w[-ov:] = ramp[::-1]
+        ramp = (0.5 - 0.5 * np.cos(np.pi * (np.arange(ov) + 0.5) / ov)
+                ).astype(np.float32)
+        head = np.ones(chunk, np.float32)
+        head[:ov] = ramp
+        tail = np.ones(chunk, np.float32)
+        tail[-ov:] = ramp[::-1]
+        w = head * tail
     return w
 
 

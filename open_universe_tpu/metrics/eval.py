@@ -62,22 +62,33 @@ class EvalMetrics:
             est = resample_audio(est, self.audio_fs, self.eval_fs)
             ref = resample_audio(ref, self.audio_fs, self.eval_fs)
 
+        # per-metric error isolation: one metric failing on a sample (e.g.
+        # PESQ on a near-silent clip) must not drop the OTHER metrics for
+        # that sample, or their means silently cover different sample sets
+        def _try(name, fn, ii):
+            try:
+                return fn()
+            except Exception as e:  # pragma: no cover
+                log.debug("%s failed on sample %d: %s", name, ii, e)
+                return None
+
         lists = defaultdict(list)
         for ii in range(est.shape[0]):
-            try:
-                if self._pesq is not None:
-                    lists["pesq"].append(
-                        self._pesq(self.eval_fs, ref[ii, 0], est[ii, 0],
-                                   self.mode))
-                if self._lps is not None:
-                    lists["lps"].append(self._lps(est[ii, 0], ref[ii, 0]))
-                if self._dnsmos is not None:
-                    d = self._dnsmos(est[ii, 0], self.eval_fs)
+            if self._pesq is not None:
+                v = _try("pesq", lambda: self._pesq(
+                    self.eval_fs, ref[ii, 0], est[ii, 0], self.mode), ii)
+                if v is not None:
+                    lists["pesq"].append(v)
+            if self._lps is not None:
+                v = _try("lps", lambda: self._lps(est[ii, 0], ref[ii, 0]), ii)
+                if v is not None:
+                    lists["lps"].append(v)
+            if self._dnsmos is not None:
+                d = _try("dnsmos",
+                         lambda: self._dnsmos(est[ii, 0], self.eval_fs), ii)
+                if d is not None:
                     for lbl in ("OVRL", "SIG", "BAK"):
                         lists["dnsmos-" + lbl].append(d[lbl])
-            except Exception as e:  # pragma: no cover
-                log.debug("metric failed on sample %d: %s", ii, e)
-                continue
 
         for met, vals in lists.items():
             metrics[met] = float(np.mean(vals))

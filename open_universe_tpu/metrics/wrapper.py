@@ -42,12 +42,33 @@ def pesq_available() -> bool:
         return False
 
 
+# result keys each metric emits (used for rerun skipping); metrics not
+# listed emit exactly their own name
+_METRIC_KEYS = {
+    "dnsmos": ("OVRL_raw", "SIG_raw", "BAK_raw", "OVRL", "SIG", "BAK"),
+}
+
+
 class Metrics:
     """Dispatcher: Metrics(["pesq-wb", "si-sdr"])(fs, degraded, reference)."""
 
     @classmethod
     def get_metric_names(cls) -> List[str]:
         return list(_ALL_METRICS)
+
+    @classmethod
+    def metric_keys(cls, met: str):
+        return _METRIC_KEYS.get(met, (met,))
+
+    @classmethod
+    def remaining(cls, metrics: Sequence[str], skip_list) -> List[str]:
+        """Metrics whose emitted keys are not all already in skip_list.
+        Matching on the EMITTED keys rather than the metric name means
+        dnsmos (emits OVRL/SIG/BAK...) is correctly skipped on rerun —
+        the reference's `met in skip_list` recomputes it every time
+        (reference wrapper.py:263)."""
+        skip = set(skip_list or ())
+        return [m for m in metrics if not set(cls.metric_keys(m)) <= skip]
 
     def __init__(self, metrics: Optional[Sequence[str]] = None):
         if metrics is None:
@@ -173,7 +194,8 @@ class Metrics:
             cache = defaultdict(dict)
             row: Dict[str, float] = {}
             for met in self.metrics:
-                if skip_list is not None and met in skip_list:
+                if skip_list is not None and \
+                        set(self.metric_keys(met)) <= set(skip_list):
                     continue
                 func = getattr(self, met.replace("-", "_"), None)
                 if func is None:
