@@ -292,6 +292,10 @@ class ConditionerNetwork(Module):
                 return False
             t_level //= r
             c *= 2
+        if pack_factor(c) != 1:
+            # bottleneck must be unpacked: the mel-adapter output and the
+            # shortcut-conv sums join the deepest level as plain (B, T, C)
+            return False
         # shortcut convs: stride is the cumulative remaining downsampling
         st_rates = _st_conv_rates(self.rate_factors)
         oc = self.n_channels * 2 ** len(self.rate_factors)

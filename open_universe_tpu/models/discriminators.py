@@ -109,10 +109,11 @@ class DiscriminatorR(Module):
     def __init__(self, cfg: dict, resolution: Sequence[int]):
         assert len(resolution) == 3
         self.resolution = list(resolution)  # (n_fft, hop, win)
-        d_mult = cfg.get("discriminator_channel_mult", 1)
+        # MRD honors mrd_channel_mult / mrd_use_spectral_norm when present
+        # (reference gan.py:140-157), falling back to the shared flags
+        d_mult = cfg.get("mrd_channel_mult",
+                         cfg.get("discriminator_channel_mult", 1))
         in_ch = cfg.get("input_channels", 1)
-        # MRD honors mrd_use_spectral_norm when present (reference
-        # gan.py:140-149), falling back to the shared use_spectral_norm flag
         sn = bool(cfg.get("mrd_use_spectral_norm",
                           cfg.get("use_spectral_norm", False)))
         norm = dict(weight_norm=not sn, spectral_norm=sn)

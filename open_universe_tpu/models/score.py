@@ -214,6 +214,11 @@ class ScoreNetwork(Module):
                 return False
             t_level //= r
             c *= 2
+        if pack_factor(c) != 1:
+            # the bottleneck must be unpacked: the encoder GRU consumes the
+            # deepest level's rows directly, so a pack factor > 1 there
+            # would feed (P*C)-wide rows into C-wide GRU weights
+            return False
         for blocks in (self.encoder.ds_modules, self.decoder.up_modules):
             for blk in blocks:
                 if not isinstance(blk, ConvBlock):

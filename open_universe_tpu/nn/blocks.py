@@ -327,7 +327,7 @@ class ConvBlock(Module):
         return y
 
     def _packed_chain(self, params: Params, h: jax.Array, p: int,
-                      t_valid: int, noise_cond, input_cond):
+                      noise_cond, input_cond):
         from ..ops import packed as pk
         from ..ops import pallas as pallas_config
 
@@ -401,8 +401,7 @@ class ConvBlock(Module):
                 raise ValueError("residual input not allowed for down blocks")
             h = (h + res) * SQRT_HALF
 
-        t_valid = h.shape[1] * p
-        v_out, cond_out = self._packed_chain(params, h, p, t_valid,
+        v_out, cond_out = self._packed_chain(params, h, p,
                                              noise_cond, input_cond)
 
         if self.rate_change_dir == "down":

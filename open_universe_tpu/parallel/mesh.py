@@ -90,5 +90,12 @@ def process_local_batch_slice(global_batch: int) -> slice:
     """The slice of a global batch this host should load (multi-host input)."""
     n = jax.process_count()
     i = jax.process_index()
+    if global_batch % n != 0:
+        # a silent remainder would mean one sample of every global batch is
+        # never loaded by any host (and the assembled batch misses the
+        # jitted step's traced shape)
+        raise ValueError(
+            f"global batch {global_batch} must be divisible by the "
+            f"process count {n}")
     per = global_batch // n
     return slice(i * per, (i + 1) * per)

@@ -76,3 +76,44 @@ def test_score_network_length_restore():
     conds = cond(pc, x, train=False)
     s = score(ps, x, jnp.full((1,), 1.0), conds)
     assert s.shape == (1, t, 1)
+
+
+def test_packed_eligibility_requires_unpacked_bottleneck():
+    """packed_eligible must reject configs whose deepest level still has a
+    pack factor > 1: the encoder GRU (and the conditioner's mel/shortcut
+    joins) consume the bottleneck as plain (B, T, C) rows, so auto-enabling
+    packed mode there crashed at trace time with a matmul shape error."""
+    small = dict(rate_factors=[2], n_channels=32, noise_cond_dim=32)
+    assert not ScoreNetwork(**small).packed_eligible(1600)
+    assert not ConditionerNetwork(
+        rate_factors=[2], n_channels=32, n_mels=16).packed_eligible(1600)
+    # the published ladder (bottleneck 32 * 2^4 = 512 >= 128) stays eligible
+    big_score = ScoreNetwork(rate_factors=[2, 4, 4, 5], n_channels=32,
+                             noise_cond_dim=512, extra_conv_block=True)
+    assert big_score.packed_eligible(16000)
+
+
+def test_mrd_channel_mult_override():
+    """DiscriminatorR honors losses.mrd_channel_mult over the shared
+    discriminator_channel_mult (reference gan.py:151-157)."""
+    from open_universe_tpu.models.discriminators import DiscriminatorR
+
+    cfg = {"discriminator_channel_mult": 0.25, "mrd_channel_mult": 0.5}
+    d = DiscriminatorR(cfg, [128, 30, 75])
+    assert d.convs[0].out_channels == 16  # 32 * 0.5, not 32 * 0.25
+    d2 = DiscriminatorR({"discriminator_channel_mult": 0.25}, [128, 30, 75])
+    assert d2.convs[0].out_channels == 8
+
+
+def test_process_local_batch_slice_divisibility(monkeypatch):
+    """A global batch not divisible by the process count must fail fast —
+    the silent floor-division remainder meant one sample of every global
+    batch was never loaded by any host."""
+    from open_universe_tpu.parallel import mesh as mesh_mod
+
+    assert mesh_mod.process_local_batch_slice(8) == slice(0, 8)
+    monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 3)
+    monkeypatch.setattr(mesh_mod.jax, "process_index", lambda: 1)
+    assert mesh_mod.process_local_batch_slice(39) == slice(13, 26)
+    with pytest.raises(ValueError, match="divisible"):
+        mesh_mod.process_local_batch_slice(40)
