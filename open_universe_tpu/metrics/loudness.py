@@ -1,8 +1,13 @@
 """ITU-R BS.1770-4 integrated loudness (LKFS), numpy implementation.
 
-Functional replacement for torchaudio.functional.loudness, used for
-loudness-matched validation audio logging (reference universe.py:662-704).
-K-weighting = high-shelf (+4 dB, 1681.97 Hz) + high-pass (38.135 Hz), then
+Fills the role of torchaudio.functional.loudness (loudness-matched
+validation audio logging, reference universe.py:662-704) but follows the
+BS.1770 spec EXACTLY: K-weighting = high-shelf (+4 dB at 1681.97 Hz,
+Q 0.70718) + high-pass (38.135 Hz, Q 0.50033) — the design frequencies whose
+48 kHz biquad coefficients the spec tabulates.  torchaudio approximates
+these with 1500 Hz / Q 1/sqrt(2) and 38.0 Hz / Q 0.5, a spectrum-dependent
+deviation of up to ~0.2 dB; since the value is only used for gain-matching
+TB audio, we keep the spec-exact filters (deliberate divergence).  Then
 400 ms blocks with 75% overlap and two-stage gating (-70 LKFS absolute,
 relative mean - 10).
 """

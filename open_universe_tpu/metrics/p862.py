@@ -166,7 +166,7 @@ def _band_fraction(x, fs):
     return float(np.mean(band ** 2)), float(np.mean(np.asarray(x) ** 2))
 
 
-def _fix_power_level(x, fs, use_band: bool = True):
+def _fix_power_level(x, use_band: bool, powers):
     """Scale so the alignment band (or, with use_band=False, the full band)
     has average power TARGET_AVG_POWER.
 
@@ -175,8 +175,10 @@ def _fix_power_level(x, fs, use_band: bool = True):
     spectral-leakage skirts — would be blown up by a huge scale factor.
     ``pesq_raw`` decides use_band ONCE for the (ref, deg) pair (both signals
     must be aligned by the same rule, or their relative level is skewed) and
-    passes it here."""
-    p_band, p_tot = _band_fraction(x, fs)
+    passes the already-computed (p_band, p_tot) here — _band_fraction runs a
+    full-signal FFT filter, so recomputing it would double that cost per
+    clip."""
+    p_band, p_tot = powers
     p = p_band if use_band else p_tot
     if p <= 0:
         p = p_tot
@@ -359,8 +361,8 @@ def pesq_raw(fs: int, ref, deg, mode: str = "wb") -> float:
     pb_r, pt_r = _band_fraction(ref, fs)
     pb_d, pt_d = _band_fraction(deg, fs)
     use_band = (pb_r > 1e-2 * pt_r) and (pb_d > 1e-2 * pt_d)
-    ref = _fix_power_level(ref, fs, use_band)
-    deg = _fix_power_level(deg, fs, use_band)
+    ref = _fix_power_level(ref, use_band, (pb_r, pt_r))
+    deg = _fix_power_level(deg, use_band, (pb_d, pt_d))
 
     if mode == "wb":
         ref = lfilter(_WB_IIR_B, _WB_IIR_A, ref)

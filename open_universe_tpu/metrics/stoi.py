@@ -14,6 +14,7 @@ row/column-normalized segment correlation (ESTOI).
 from __future__ import annotations
 
 import math
+from functools import lru_cache
 
 import numpy as np
 
@@ -49,6 +50,8 @@ def _frames(x, flen, hop):
 
 def _remove_silent_frames(x, y, dyn_range=DYN_RANGE, flen=N_FRAME,
                           hop=N_FRAME // 2):
+    if len(x) < flen:  # not even one frame; caller handles the short case
+        return np.zeros(0), np.zeros(0)
     w = _hann(flen)
     xf = _frames(x, flen, hop) * w
     yf = _frames(y, flen, hop) * w
@@ -65,6 +68,7 @@ def _remove_silent_frames(x, y, dyn_range=DYN_RANGE, flen=N_FRAME,
     return xs, ys
 
 
+@lru_cache(maxsize=1)
 def _octave_band_matrix():
     f = np.linspace(0, FS / 2, NFFT // 2 + 1)
     k = np.arange(NUM_BANDS, dtype=np.float64)
@@ -105,7 +109,14 @@ def stoi(ref: np.ndarray, est: np.ndarray, fs: int,
     est = _resample(est, fs, FS)
     ref, est = _remove_silent_frames(ref, est)
     if len(ref) < N_FRAME + (N - 1) * (N_FRAME // 2):
-        raise ValueError("signal too short after silence removal")
+        # pystoi (the dependency this replaces) warns and returns 1e-5 here
+        # rather than raising — one short/mostly-silent clip must not abort
+        # a whole metrics sweep
+        import warnings
+
+        warnings.warn("signal too short after silence removal; "
+                      "returning 1e-5", RuntimeWarning)
+        return 1e-5
     X = _band_spectrogram(ref)
     Y = _band_spectrogram(est)
     Xs = _segments(X)  # (S, bands, N)

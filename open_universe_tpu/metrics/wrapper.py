@@ -202,7 +202,17 @@ class Metrics:
                     if skip_unknown_metrics:
                         continue
                     raise ValueError(f"metric {met} not supported")
-                vals, cache = func(reference[idx], degraded[idx], fs, cache)
+                try:
+                    vals, cache = func(reference[idx], degraded[idx], fs,
+                                       cache)
+                except Exception as e:
+                    # per-metric isolation: one metric failing on a clip
+                    # (e.g. PESQ < 0.25 s) must not drop the clip's other
+                    # metrics; the failed one stays absent so an incremental
+                    # rerun retries exactly it (the reference has no
+                    # handling at all here and aborts the whole sweep)
+                    log.warning("%s failed: %s", met, e)
+                    continue
                 row.update(vals)
             output.append(row)
 
