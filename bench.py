@@ -9,13 +9,43 @@ Prints exactly one JSON line.
 """
 import argparse
 import json
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
+
+def _backend_alive(timeout_s: float = 120.0) -> bool:
+    """Probe jax.devices() in a SUBPROCESS: the axon tunnel can wedge
+    service-wide (observed >7h, CLAUDE.md) and then even backend init hangs
+    forever — a hung bench records nothing at all, while an explicit error
+    line tells the reader exactly what happened."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def main():
+    # probe only on a fresh interpreter: a caller that already imported and
+    # configured jax (e.g. forcing platform=cpu) knows its backend works
+    if "jax" not in sys.modules and not _backend_alive():
+        print(json.dumps({
+            "metric": "batched_enhancement_throughput",
+            "value": 0.0,
+            "unit": "audio-sec/sec/chip",
+            "vs_baseline": 0.0,
+            "detail": {"error": "TPU backend unavailable: jax.devices() hung "
+                                ">120s (service-wide axon tunnel wedge; see "
+                                "CLAUDE.md). Last good measurement: 1186 "
+                                "audio-s/s (bf16, B=128), BENCH_r01.json."},
+        }))
+        return
+
+    import jax
+    import jax.numpy as jnp
     ap = argparse.ArgumentParser()
     # batch 128 (unpacked) is the stable throughput peak (1186 audio-s/s on
     # v5e, <1% run-to-run variance); batch 16-64 auto-enables the exact
