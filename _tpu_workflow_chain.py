@@ -109,7 +109,9 @@ def phase_lora():
     model = instantiate(cfg["model"])
     trainer = Trainer(
         model, dm, RUN_LORA, max_steps=LORA_STEPS,
-        val_check_interval=LORA_STEPS // 2, checkpoint_every=LORA_STEPS // 2,
+        # one checkpoint at the end: each full-state save is ~3 min of
+        # tunnel-bound transfer, and selection is already proven on the GAN leg
+        val_check_interval=LORA_STEPS // 2, checkpoint_every=LORA_STEPS,
         log_every=50, max_val_batches=2, seed=1, mesh=make_mesh(dp=1),
         config=cfg)
     t0 = time.time()
