@@ -178,7 +178,8 @@ def phase_export():
 
     wav, fs = load_audio(sorted((DATA / "test" / "noisy").glob("*.wav"))[0])
     assert fs == FS
-    mix = jnp.asarray(wav, dtype=jnp.float32)[None, :, None]
+    # load_audio returns (channels, T); take the mono channel -> (B, T, C)
+    mix = jnp.asarray(wav[0], dtype=jnp.float32)[None, :, None]
 
     m_run, p_run = load_model(str(RUN_GAN))
     m_ckpt, p_ckpt = load_model(str(ckpt))
