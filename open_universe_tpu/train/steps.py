@@ -185,17 +185,24 @@ def make_gan_train_step(model: UniverseGAN, tx_gen, tx_disc,
             d_grads, gnorm_mrd = clip_subtree_by_norm(
                 d_grads, ["loss_mrd"], clip_vals.get("mrd", 1000.0))
 
-            adv_on = step >= freeze_step
             d_updates, disc_opt_new = tx_disc.update(
                 d_grads, state["disc_opt_state"], disc_params)
             disc_params_new = optax.apply_updates(disc_params, d_updates)
-            # freeze gate: keep old params/opt-state until freeze_step
-            disc_params_new = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(adv_on, new, old),
-                disc_params_new, disc_params)
-            disc_opt_new = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(adv_on, new, old),
-                disc_opt_new, state["disc_opt_state"])
+            if freeze_step > 0:
+                # freeze gate: keep old params/opt-state until freeze_step.
+                # Statically skipped when freeze_step == 0 (the flagship
+                # config): adv_on is then always true and the per-leaf
+                # where-trees over the disc params AND optimizer state are
+                # pure compile-time weight.
+                adv_on = step >= freeze_step
+                disc_params_new = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(adv_on, new, old),
+                    disc_params_new, disc_params)
+                disc_opt_new = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(adv_on, new, old),
+                    disc_opt_new, state["disc_opt_state"])
+            else:
+                adv_on = True
 
         # ---------------- generator update (vs updated discriminator) -------
         if aux_warmup > 0:

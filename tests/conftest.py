@@ -25,6 +25,13 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running test; `-m 'not slow'` is the fast path "
+        "(see CLAUDE.md Commands)")
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
