@@ -182,7 +182,13 @@ def load_model(name_or_path: str, load_ema: bool = True,
 
 def jax_tree_asarray(tree):
     import jax.numpy as jnp
+    import numpy as np
 
     if isinstance(tree, dict):
         return {k: jax_tree_asarray(v) for k, v in tree.items()}
-    return jnp.asarray(tree)
+    # np.array(copy=True): on the CPU backend jnp.asarray is ZERO-COPY for
+    # aligned numpy inputs, and converted torch checkpoints arrive as
+    # ``tensor.detach().numpy()`` VIEWS — without the copy, later in-place
+    # torch mutation (an optimizer step, an EMA copy_to) silently mutates
+    # the "converted" jax params
+    return jnp.asarray(np.array(tree, copy=True))

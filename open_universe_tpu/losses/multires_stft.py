@@ -35,8 +35,9 @@ class MultiResL1SpecLoss:
             estimate = estimate[..., 0]
         if target.ndim == 3 and target.shape[-1] == 1:
             target = target[..., 0]
-        estimate = estimate.astype(jnp.float32)
-        target = target.astype(jnp.float32)
+        estimate = estimate.astype(jnp.promote_types(estimate.dtype,
+                                                     jnp.float32))
+        target = target.astype(jnp.promote_types(target.dtype, jnp.float32))
 
         if self.scale_invariant:
             scaling = jnp.sum(estimate * target, -1, keepdims=True) / (

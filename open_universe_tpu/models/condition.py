@@ -32,6 +32,7 @@ from ..nn import (
 )
 from ..nn.module import Params
 from ..ops import mel_filterbank, spectrogram
+from ..utils.params import at_least_f32
 
 
 def _st_conv_rates(ds_factors) -> List[int]:
@@ -95,14 +96,17 @@ class MelAdapter(Module):
         b, t, c = x.shape
         dtype = x.dtype
         # the STFT itself always runs in fp32 (XLA FFT precision)
-        xw = jnp.swapaxes(x, 1, 2).reshape(b * c, t).astype(jnp.float32)
+        xw = at_least_f32(jnp.swapaxes(x, 1, 2).reshape(b * c, t))
         r = xw.shape[-1] % self.ds_factor
         pad = self.ds_factor - r if r != 0 else 0
         xw = jnp.pad(xw, ((0, 0), (self.pad_left, pad + self.pad_right)))
         spec = spectrogram(xw, self.n_fft, self.ds_factor, power=2.0)  # (BC,F,freq)
         fb = mel_filterbank(self.n_fft // 2 + 1, self.n_mels,
                             self.CLAIMED_SAMPLE_RATE)
-        mel = jnp.matmul(spec, fb, preferred_element_type=jnp.float32)  # (BC,F,mels)
+        mel = jnp.matmul(
+            spec, fb,
+            preferred_element_type=jnp.promote_types(spec.dtype, jnp.float32),
+        )  # (BC,F,mels)
         # unit average frame energy per channel (condition.py:105-106)
         norm = jnp.sqrt(jnp.mean(jnp.sum(mel * mel, axis=-1, keepdims=True),
                                  axis=-2, keepdims=True))

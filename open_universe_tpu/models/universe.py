@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from .. import utils
 from ..nn.module import Module, Params
+from ..utils.params import at_least_f32
 from .condition import ConditionerNetwork
 from .mdn import MixtureDensityNetworkLoss
 from .score import ScoreNetwork
@@ -333,8 +334,8 @@ class Universe(Module):
 
         score = score_fn(params, x_t, sigma_c, cond)
         l_score = jnp.mean(jnp.square(
-            sigma[:, None, None] * score.astype(jnp.float32)
-            + z.astype(jnp.float32)))
+            sigma[:, None, None] * at_least_f32(score)
+            + at_least_f32(z)))
 
         if not train:
             return l_score

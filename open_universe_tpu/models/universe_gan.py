@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from ..nn.blocks import PReLUConv
 from ..nn.module import Params
+from ..utils.params import at_least_f32
 from .discriminators import (
     MultiPeriodDiscriminator,
     MultiResolutionDiscriminator,
@@ -62,6 +63,19 @@ class UniverseGAN(Universe):
         if self.signal_decoupling_layer is not None:
             keys.append("signal_decoupling_layer")
         return tuple(keys)
+
+    def optimized_param_keys(self):
+        """Generator sub-trees the optimizer actually updates.
+
+        Reference quirk PRESERVED: ``configure_optimizers`` collects only
+        score+condition parameters (universe_gan.py:388), so the
+        signal_decoupling_layer is applied in the forward but never
+        optimized — it stays at init forever (the published checkpoints
+        were trained that way).  EMA still shadows it (``model_parameters``
+        includes it, universe_gan.py:136-143); the EMA of a constant is the
+        constant, so shadow ordering and values both match.
+        """
+        return ("score_model", "condition_model")
 
     def disc_param_keys(self):
         return ("loss_mpd", "loss_mrd")
@@ -126,13 +140,13 @@ class UniverseGAN(Universe):
             target_original)
 
         return {
-            "y_est": y_est.astype(jnp.float32),
-            "score": score.astype(jnp.float32),
-            "sigma": sigma.astype(jnp.float32),
-            "z": z.astype(jnp.float32),
-            "mel_y_est": mel_y_est.astype(jnp.float32),
-            "mel_target": mel_target.astype(jnp.float32),
-            "time": time.astype(jnp.float32),
+            "y_est": at_least_f32(y_est),
+            "score": at_least_f32(score),
+            "sigma": at_least_f32(sigma),
+            "z": at_least_f32(z),
+            "mel_y_est": at_least_f32(mel_y_est),
+            "mel_target": at_least_f32(mel_target),
+            "time": at_least_f32(time),
         }
 
     def discriminator_losses(self, disc_params: Params, y_est, target_original):
@@ -145,13 +159,13 @@ class UniverseGAN(Universe):
         y_df_r, y_df_g, _, _ = self.loss_mpd(
             disc_params["loss_mpd"], target_original, y_est)
         loss_f, _, _ = discriminator_loss(
-            [y.astype(jnp.float32) for y in y_df_r],
-            [y.astype(jnp.float32) for y in y_df_g])
+            [at_least_f32(y) for y in y_df_r],
+            [at_least_f32(y) for y in y_df_g])
         y_ds_r, y_ds_g, _, _ = self.loss_mrd(
             disc_params["loss_mrd"], target_original, y_est)
         loss_s, _, _ = discriminator_loss(
-            [y.astype(jnp.float32) for y in y_ds_r],
-            [y.astype(jnp.float32) for y in y_ds_g])
+            [at_least_f32(y) for y in y_ds_r],
+            [at_least_f32(y) for y in y_ds_g])
         loss = loss_f + loss_s
         return loss, {"train/loss_disc": loss, "train/loss_mpd": loss_f,
                       "train/loss_mrd": loss_s}
@@ -190,8 +204,7 @@ class UniverseGAN(Universe):
                 target_original = target_original.astype(dt)
 
             def _f32(seq):
-                return [jax.tree_util.tree_map(
-                    lambda a: a.astype(jnp.float32), s) for s in seq]
+                return [jax.tree_util.tree_map(at_least_f32, s) for s in seq]
 
             y_df_r, y_df_g, fmap_f_r, fmap_f_g = self.loss_mpd(
                 disc_params["loss_mpd"], target_original, y_est)

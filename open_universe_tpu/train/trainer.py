@@ -43,7 +43,19 @@ VAL_SEED = 682479040  # reference universe.py:604
 
 
 def _build_schedule(sch_cfg: Optional[dict], base_lr: float, max_steps: int,
-                    step_factor: int = 1):
+                    gan_role: Optional[str] = None, freeze_step: int = 0):
+    """LR schedule as a function of the optimizer's update count.
+
+    gan_role None reproduces Lightning's one scheduler.step() per
+    training_step.  For the GAN the reference steps BOTH schedulers after
+    the disc update AND after the gen update (universe_gan.py:229-231,
+    301-302), except during the disc-freeze phase where only the post-gen
+    step happens.  With F = disc_freeze_step, at global step i the scheduler
+    has therefore been stepped  min(i, F) + 2*max(i - F, 0)  times before
+    the disc update (disc update count d maps to i = F + d), plus one more
+    before the gen update once i >= F (the disc phase steps the scheduler
+    first).  F=0 gives the flagship behavior: disc lr = sched(2i),
+    gen lr = sched(2i + 1)."""
     if sch_cfg is None:
         return base_lr
     inner = sch_cfg.get("scheduler", sch_cfg)
@@ -51,9 +63,18 @@ def _build_schedule(sch_cfg: Optional[dict], base_lr: float, max_steps: int,
     sched = linear_warmup_cosine_annealing(
         base_lr, inner.get("T_warmup", 0), inner.get("T_cosine", t_max),
         t_max, inner.get("eta_min", 0.0))
-    if step_factor == 1:
+    if gan_role is None:
         return sched
-    return lambda step: sched(step_factor * step)
+    if gan_role == "generator":
+        def gen_sched(i):
+            i = jnp.asarray(i)
+            past = jnp.maximum(i - freeze_step, 0)
+            return sched(jnp.minimum(i, freeze_step) + 2 * past
+                         + (i >= freeze_step).astype(jnp.int32))
+        return gen_sched
+    if gan_role == "discriminator":
+        return lambda d: sched(freeze_step + 2 * d)
+    raise ValueError(gan_role)
 
 
 class Trainer:
@@ -117,22 +138,35 @@ class Trainer:
             sch = model.schedule_kwargs or {}
             gen_keys = list(model.model_param_keys())
             gen_params = {k: params[k] for k in gen_keys}
-            gen_mask = {k: mask[k] for k in gen_keys}
+            # see UniverseGAN.optimized_param_keys for the preserved
+            # reference quirk (signal_decoupling_layer never optimized)
+            optimized = set(getattr(model, "optimized_param_keys",
+                                    model.model_param_keys)())
+            gen_mask = {
+                k: (mask[k] if k in optimized else jax.tree_util.tree_map(
+                    lambda _: False, mask[k]))
+                for k in gen_keys}
             sched_g = _build_schedule(sch.get("generator"),
                                       gen_cfg.get("lr", 2e-4),
-                                      self.max_steps, step_factor=2)
+                                      self.max_steps, gan_role="generator",
+                                      freeze_step=model.disc_freeze_step)
             sched_d = _build_schedule(sch.get("discriminator"),
                                       disc_cfg.get("lr", 2e-4),
-                                      self.max_steps, step_factor=2)
+                                      self.max_steps, gan_role="discriminator",
+                                      freeze_step=model.disc_freeze_step)
             self.tx = adamw(
                 sched_g, betas=tuple(gen_cfg.get("betas", (0.8, 0.99))),
                 weight_decay=gen_cfg.get("weight_decay", 0.0),
                 weight_decay_exclude=gen_cfg.get("weight_decay_exclude",
                                                  ("prelu", "bias")),
                 params=gen_params, trainable_mask=gen_mask)
+            # the reference's disc config omits weight_decay, so its
+            # torch.optim.AdamW applies the torch DEFAULT 0.01 to every disc
+            # parameter including biases (configure_optimizers passes the
+            # config straight through, universe_gan.py:416-419)
             self.tx_disc = adamw(
                 sched_d, betas=tuple(disc_cfg.get("betas", (0.8, 0.99))),
-                weight_decay=disc_cfg.get("weight_decay", 0.0))
+                weight_decay=disc_cfg.get("weight_decay", 0.01))
             if accum and accum > 1:
                 self.tx = optax.MultiSteps(self.tx, every_k_schedule=accum)
                 self.tx_disc = optax.MultiSteps(self.tx_disc,

@@ -6,6 +6,7 @@ package import cycle.
 """
 from .norm import denormalize_batch, normalize_batch  # noqa: F401
 from .params import (  # noqa: F401
+    at_least_f32,
     count_parameters,
     count_parameters_per_level,
     pad_dim_right,

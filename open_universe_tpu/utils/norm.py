@@ -11,7 +11,11 @@ import jax.numpy as jnp
 
 
 def _norm2(signal, eps=1e-5):
-    return jnp.maximum(jnp.std(signal, axis=(1, 2), keepdims=True), eps)
+    # ddof=1: torch.Tensor.std applies Bessel's correction by default
+    # (reference utils/norm.py:23) — at T samples the ratio to the biased
+    # std is sqrt(T/(T-1)), a real 1/(2T)-level parity error if dropped
+    return jnp.maximum(
+        jnp.std(signal, axis=(1, 2), keepdims=True, ddof=1), eps)
 
 
 def _norm_max(signal, eps=1e-5):

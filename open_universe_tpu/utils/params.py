@@ -61,3 +61,15 @@ def to_device(data: Any, device: str = "cpu", to_numpy: bool = False) -> Any:
             return np.asarray(out) if to_numpy else out
         return jax.device_put(jnp.asarray(data))
     return data
+
+
+def at_least_f32(x: jax.Array) -> jax.Array:
+    """Promote to float32 unless the input is already wider.
+
+    The mixed-precision boundaries on the training path ("losses stay f32
+    while networks run bf16") are expressed with this instead of a hard
+    ``astype(float32)`` so that a float64 run (the golden train-dynamics
+    parity test runs both frameworks in f64 to separate semantic drift from
+    f32 noise) keeps its precision end to end.
+    """
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))

@@ -2,6 +2,11 @@
 plain/omegaconf-shim config dicts (reference score.py:275, universe.py:90-115,
 universe_gan.py:127-133)."""
 import importlib
+import os
+
+
+def to_absolute_path(path):
+    return os.path.abspath(path)
 
 
 def _locate(path: str):
@@ -22,7 +27,10 @@ def _locate(path: str):
     raise ImportError(f"cannot locate {path!r}")
 
 
-def instantiate(cfg, *args, _recursive_=True, **overrides):
+def instantiate(cfg=None, *args, config=None, _recursive_=True,
+                _convert_=None, **overrides):
+    if cfg is None:
+        cfg = config
     if cfg is None:
         return None
     if not isinstance(cfg, dict):
