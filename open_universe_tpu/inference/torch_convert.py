@@ -99,14 +99,16 @@ def _module_index(model: Module) -> Dict[str, Module]:
     return dict(model.named_modules())
 
 
-_EDM_PREFIX = re.compile(r"^_edm_model\.")
+_EDM_PREFIX = re.compile(r"(^|\.)_edm_model\.")
 
 
 def normalize_key(key: str) -> str:
-    """Map reference naming variants onto our tree (the `_edm_model.` prefix
-    of EDM-wrapped checkpoints lands on our `score_model` subtree; module
-    paths otherwise mirror the torch state_dict names one-to-one)."""
-    key = _EDM_PREFIX.sub("score_model.", key)
+    """Map reference naming variants onto our tree (the `_edm_model.`
+    segment of EDM-wrapped checkpoints lands on our `score_model` subtree —
+    at the root for plain Universe checkpoints AND nested, e.g. a reference
+    UniverseLoRA's ``model._edm_model.*``; module paths otherwise mirror the
+    torch state_dict names one-to-one)."""
+    key = _EDM_PREFIX.sub(r"\1score_model.", key)
     return key
 
 

@@ -21,7 +21,7 @@ REF_ROOT = Path("/root/reference")
 SHIM_PATH = str(Path(__file__).resolve().parent / "ref_shims")
 
 _SHIMMED = ("omegaconf", "hydra", "torch_ema", "pytorch_lightning",
-            "torchaudio")
+            "torchaudio", "huggingface_hub")
 
 
 def _ensure_shims():
@@ -78,9 +78,14 @@ def load_reference():
     ns.dyn_range_comp = importlib.import_module(
         "open_universe.layers.dyn_range_comp")
     ns.utils = importlib.import_module("open_universe.utils")
-    # adapter classes (torch-only imports); the UniverseLoRA Lightning module
-    # in networks/universe/lora.py is NOT imported (-> huggingface_hub)
+    # adapter classes (torch-only imports)
     ns.lora = importlib.import_module("open_universe.lora")
+    # the UniverseLoRA Lightning module (its inference_utils import chain
+    # needs the huggingface_hub shim and the enhancement base class)
+    ns.enhancement = importlib.import_module(
+        "open_universe.networks.enhancement")
+    ns.lora_model = importlib.import_module(
+        "open_universe.networks.universe.lora")
     # losses/__init__ pulls in phoneme_loss -> transformers; import the
     # multires module directly under a stub package
     _stub_package("open_universe.losses", REF_ROOT / "open_universe" / "losses")
@@ -93,6 +98,7 @@ def load_reference():
     uni_pkg.ConditionerNetwork = ns.condition.ConditionerNetwork
     uni_pkg.Universe = ns.universe.Universe
     uni_pkg.UniverseGAN = ns.universe_gan.UniverseGAN
+    uni_pkg.UniverseLoRA = ns.lora_model.UniverseLoRA
     uni_pkg.MixtureDensityNetworkLoss = ns.mdn.MixtureDensityNetworkLoss
     return ns
 
@@ -141,7 +147,10 @@ def reference_model_config(name="default", overrides=None):
                 return fill(target)
             if path == "trainer.max_steps":
                 return 600000
-            if path.endswith("audio_len"):
+            if path.endswith(("audio_len", "speech_len")):
+                # universepp_24k.yaml:67 points at a datamodule dataset
+                # ("distorted-speech") whose config is not shipped with the
+                # reference; any fixed clip length works for parity tests
                 return 2.0
             raise KeyError(f"unhandled interpolation {node}")
         return node

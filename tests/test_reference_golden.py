@@ -36,12 +36,12 @@ B, T = 2, 8000  # 0.5 s @16 kHz; multiple of tot_ds=160
 class Pair:
     """A reference torch model and the converted JAX model + params."""
 
-    def __init__(self, config_name, seed):
+    def __init__(self, config_name, seed, overrides=None):
         self.ref = load_reference()
         from hydra.utils import instantiate as ref_instantiate
         from omegaconf import OmegaConf
 
-        self.cfg = reference_model_config(config_name)
+        self.cfg = reference_model_config(config_name, overrides=overrides)
         torch.manual_seed(seed)
         self.tm = ref_instantiate(OmegaConf.create(self.cfg), _recursive_=False)
         self.tm.eval()
@@ -438,6 +438,482 @@ def test_lora_adapter_parity(gan):
     lp["lora_linear_b"] = jnp.asarray(tl.lora_linear_b.detach().numpy())
     y = jlin(lp, jnp.asarray(xf))
     np.testing.assert_allclose(np.asarray(y), ref_y, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# universepp_24k (rate [2,3,5,8], 48 ch, 128 mels at the fbank's native fs)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def gan24():
+    return Pair("universepp_24k", seed=6)
+
+
+B24, T24 = 2, 7200  # 0.3 s @24 kHz; multiple of tot_ds = 2*3*5*8 = 240
+
+
+@pytest.fixture(scope="module")
+def noisy24():
+    rng = np.random.default_rng(24)
+    return (rng.standard_normal((B24, T24)) * 0.3).astype(np.float32)
+
+
+def test_universepp_24k_network_parity(gan24, noisy24):
+    """Conditioner (all three outputs) + EDM-wrapped score for the 24 kHz
+    recipe (reference config/model/universepp_24k.yaml: rate_factors
+    [2,3,5,8], 48 channels, 128 mels — the MelAdapter at its NATIVE 24 kHz,
+    where the fs=24000 fbank quirk is self-consistent)."""
+    with torch.no_grad():
+        cond_r, y_r, h_r = gan24.tm.condition_model(
+            _t(noisy24), x_wav=_t(noisy24), train=True)
+    cond_m, y_m, h_m = gan24.mm.condition_model(
+        gan24.params["condition_model"], _j(noisy24), x_wav=_j(noisy24),
+        train=True)
+    assert len(cond_r) == len(cond_m)
+    for cr, cm in zip(cond_r, cond_m):
+        np.testing.assert_allclose(cr.numpy(), _nchw(cm), atol=2e-5)
+    np.testing.assert_allclose(y_r.numpy(), _nchw(y_m), atol=2e-5)
+    np.testing.assert_allclose(h_r.numpy(), _nchw(h_m), atol=2e-5)
+
+    rng = np.random.default_rng(25)
+    x = (rng.standard_normal((B24, T24)) * 0.5).astype(np.float32)
+    sigma = np.array([0.7, 0.03], np.float32)
+    with torch.no_grad():
+        s_r = gan24.tm.score_model(_t(x), torch.from_numpy(sigma), cond_r)
+    s_m = gan24.mm.score(gan24.params, _j(x), jnp.asarray(sigma), cond_m)
+    sr = s_r.numpy()
+    tol = 1e-6 * np.abs(sr).max()
+    np.testing.assert_allclose(sr, _nchw(s_m), atol=max(tol, 2e-5))
+
+
+def test_universepp_24k_enhance_parity(gan24, noisy24):
+    z0 = (np.random.default_rng(26)
+          .standard_normal((B24, 1, T24 + 240)).astype(np.float32))
+    with _patched_noise(gan24.ref, z0):
+        with torch.no_grad():
+            out_r = gan24.tm.enhance(torch.from_numpy(noisy24), n_steps=4,
+                                     epsilon=1.0)
+        out_m = gan24.mm.enhance(gan24.params, jnp.asarray(noisy24),
+                                 n_steps=4, epsilon=1.0, packed=False)
+    np.testing.assert_allclose(out_r.numpy(), np.asarray(out_m), atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# UniverseLoRA: unrolled sampler forward + n_steps_backprop gradient gate
+# ---------------------------------------------------------------------------
+
+
+def _build_lora_pair(n_steps_backprop=2):
+    """A reference UniverseLoRA wrapping a fresh UNIVERSE++ and our
+    UniverseLoRA on the converted weights, with IDENTICAL (randomized)
+    adapter matrices copied across (reference lora.py:39-126: EMA fold,
+    weight-norm removal, loss-module drop, adapter injection, freezing)."""
+    from open_universe_tpu.models.universe_lora import UniverseLoRA
+
+    pair = Pair("default", seed=15)
+    # reference EnhancementBaseModel uses attribute access on these configs
+    # (base.py:257 ``val_kwargs.enh_losses``) -> shim DictConfig, not dict
+    from omegaconf import OmegaConf
+
+    tm_lora = pair.ref.lora_model.UniverseLoRA(
+        model=pair.tm, fs=16000, losses=OmegaConf.create({}),
+        training=OmegaConf.create({"audio_len": 2.0}),
+        validation=OmegaConf.create({"enh_losses": {}}),
+        optimizer=None, scheduler=None, grad_clipper=None,
+        diffusion={"n_steps": 4, "epsilon": 1.3},
+        n_steps_backprop=n_steps_backprop, use_lora=True, use_lora_score=True,
+        use_lora_condition=True, lora_rank=4, lora_alpha=2.0,
+        lora_train_biases=True)
+    # randomize the zero-initialized adapter halves so LoRA actually
+    # contributes to the forward (reference inits A=0 for convs, B=0 for
+    # Linear -> a zero delta would not test the adapter math)
+    torch.manual_seed(77)
+    with torch.no_grad():
+        for mod in tm_lora.modules():
+            for attr in ("lora_weight_a", "lora_weight_b", "lora_linear_a",
+                         "lora_linear_b"):
+                if hasattr(mod, attr):
+                    getattr(mod, attr).normal_(std=0.1)
+
+    my_lora = UniverseLoRA(
+        model=pair.mm, fs=16000, losses={}, training={"audio_len": 2.0},
+        validation={}, diffusion={"n_steps": 4, "epsilon": 1.3},
+        n_steps_backprop=n_steps_backprop, use_lora=True, use_lora_score=True,
+        use_lora_condition=True, lora_rank=4, lora_alpha=2.0,
+        lora_train_biases=True,
+        base_params=fold_weight_norm(pair.mm, pair.params))
+    params, skipped = convert_state_dict(my_lora, tm_lora.state_dict())
+    from open_universe_tpu.inference.torch_convert import is_skipped_buffer
+
+    not_buffers = [k for k in skipped if not is_skipped_buffer(k)]
+    assert not not_buffers, f"unconverted non-buffer keys: {not_buffers}"
+    return pair, tm_lora, my_lora, jax_tree_asarray(params)
+
+
+def _patched_lora_noise(ref, z0):
+    """Same trick as _patched_noise, but UniverseLoRA binds randn/randn_sigma
+    by name in its own module (reference lora.py:34; ours universe_lora.py)."""
+    import contextlib
+
+    import open_universe_tpu.models.universe_lora as my_lora_mod
+
+    @contextlib.contextmanager
+    def ctx():
+        orig_ref = ref.lora_model.randn
+        orig_my = my_lora_mod.randn_sigma
+
+        def ref_randn(x, sigma, rng=None):
+            assert tuple(x.shape) == z0.shape, (x.shape, z0.shape)
+            return torch.from_numpy(z0).to(x.dtype) * sigma[:, None, None]
+
+        def my_randn(key, shape, sigma, dtype=jnp.float32):
+            z = jnp.asarray(z0.transpose(0, 2, 1))
+            return (z * sigma[:, None, None]).astype(dtype)
+
+        ref.lora_model.randn = ref_randn
+        my_lora_mod.randn_sigma = my_randn
+        try:
+            yield
+        finally:
+            ref.lora_model.randn = orig_ref
+            my_lora_mod.randn_sigma = orig_my
+
+    return ctx()
+
+
+def test_universe_lora_unrolled_forward_and_grad_gate_parity():
+    """UniverseLoRA.forward (the UNROLLED sampler trained through, reference
+    lora.py:300-397) and its n_steps_backprop gradient gate: identical
+    outputs AND identical gradients w.r.t. the LoRA adapters/biases when
+    only the last 2 of 4 steps carry gradients."""
+    pair, tm_lora, my_lora, params = _build_lora_pair(n_steps_backprop=2)
+
+    b, t = 1, 3200
+    rng = np.random.default_rng(31)
+    mix = (rng.standard_normal((b, t)) * 0.3).astype(np.float32)
+    z0 = rng.standard_normal((b, 1, t + 160)).astype(np.float32)
+
+    # --- trainable-mask parity: same trainable tensor count and size
+    mask = my_lora.trainable_mask(params)
+    my_trainable = [leaf for leaf, m in zip(
+        jax.tree_util.tree_leaves(params),
+        jax.tree_util.tree_leaves(mask)) if m]
+    ref_trainable = [p for p in tm_lora.parameters() if p.requires_grad]
+    assert len(my_trainable) == len(ref_trainable)
+    assert (sum(int(np.prod(p.shape)) for p in my_trainable)
+            == sum(p.numel() for p in ref_trainable))
+
+    with _patched_lora_noise(pair.ref, z0):
+        mix_t = torch.from_numpy(mix)
+        out_r = tm_lora.forward(mix_t, n_steps=4, epsilon=1.0)
+        loss_r = out_r.mean()
+        loss_r.backward()
+
+        def my_loss(p):
+            return jnp.mean(my_lora.forward(p, jnp.asarray(mix), n_steps=4,
+                                            epsilon=1.0))
+
+        out_m = my_lora.forward(params, jnp.asarray(mix), n_steps=4,
+                                epsilon=1.0)
+        grads = jax.grad(my_loss)(params)
+
+    np.testing.assert_allclose(out_r.detach().numpy(), np.asarray(out_m),
+                               atol=2e-5)
+
+    # --- gradient parity on every trainable leaf (validates the stop-
+    # gradient placement exactly: a gate off by one step changes these)
+    ref_grads = {name: p.grad for name, p in tm_lora.named_parameters()
+                 if p.requires_grad}
+    my_grads, _ = convert_state_dict(
+        my_lora, {k: v for k, v in ref_grads.items() if v is not None})
+    checked = 0
+
+    def walk(mine, ref_conv, msk, path):
+        nonlocal checked
+        if isinstance(mine, dict):
+            for k in mine:
+                if isinstance(ref_conv, dict) and k in ref_conv:
+                    walk(mine[k], ref_conv[k], msk[k], path + "/" + str(k))
+            return
+        if not msk:
+            return
+        g_my = np.asarray(mine, np.float64)
+        g_ref = np.asarray(ref_conv, np.float64)
+        denom = max(np.linalg.norm(g_ref), 1e-12)
+        rel = np.linalg.norm(g_my - g_ref) / denom
+        assert rel < 2e-3, f"{path}: grad mismatch rel={rel:.2e}"
+        checked += 1
+
+    grads_masked = jax.tree_util.tree_map(lambda g, m: g if m else None,
+                                          grads, mask)
+    walk(jax.tree_util.tree_map(lambda g: g, grads_masked), my_grads, mask,
+         "")
+    assert checked > 50, f"only {checked} gradient leaves compared"
+
+
+# ---------------------------------------------------------------------------
+# one-step training dynamics (full training_step vs make_gan_train_step)
+# ---------------------------------------------------------------------------
+
+
+def _patched_train_randomness(pair, zs, sigmas):
+    """Pin the two stochastic draws of one GAN training step on BOTH sides:
+    the per-batch sigma (sample_sigma, reference universe_gan.py:180) and the
+    diffusion noise z (reference universe_gan.py:183 ``.normal_()``; ours
+    jax.random.normal in generator_forward).  Each side consumes one (z,
+    sigma) per step, so iterating in lockstep keeps 2+ steps comparable."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        z_t, z_j = iter(zs), iter(zs)
+        s_t, s_j = iter(sigmas), iter(sigmas)
+        orig_normal_ = torch.Tensor.normal_
+        orig_jnormal = jax.random.normal
+        orig_sample_t = pair.tm.sample_sigma
+        orig_sample_j = pair.mm.sample_sigma
+
+        def fake_normal_(self, *a, **k):
+            z = next(z_t)
+            assert tuple(self.shape) == z.shape, (self.shape, z.shape)
+            with torch.no_grad():
+                self.copy_(torch.from_numpy(z).to(self.dtype))
+            return self
+
+        def fake_jnormal(key, shape=(), dtype=jnp.float32):
+            z = next(z_j).transpose(0, 2, 1)  # (B,1,T) -> (B,T,1)
+            assert tuple(shape) == z.shape, (shape, z.shape)
+            return jnp.asarray(z).astype(dtype)
+
+        def fake_sample_t(x, strategy, t_min, t_max):
+            s = next(s_t)
+            return torch.from_numpy(s), torch.zeros(s.shape[0])
+
+        def fake_sample_j(key, n, strategy, t_min, t_max,
+                          pr_cum=None, bins=None):
+            s = next(s_j)
+            return jnp.asarray(s), jnp.zeros(s.shape[0])
+
+        torch.Tensor.normal_ = fake_normal_
+        jax.random.normal = fake_jnormal
+        pair.tm.sample_sigma = fake_sample_t
+        pair.mm.sample_sigma = fake_sample_j
+        try:
+            yield
+        finally:
+            torch.Tensor.normal_ = orig_normal_
+            jax.random.normal = orig_jnormal
+            del pair.tm.sample_sigma
+            pair.mm.sample_sigma = orig_sample_j
+
+    return ctx()
+
+
+def _flat_delta(tree_after, tree_before):
+    leaves_a = jax.tree_util.tree_leaves(tree_after)
+    leaves_b = jax.tree_util.tree_leaves(tree_before)
+    return np.concatenate([
+        (np.asarray(a, np.float64) - np.asarray(b, np.float64)).ravel()
+        for a, b in zip(leaves_a, leaves_b)])
+
+
+def test_gan_train_step_dynamics_parity():
+    """TWO full reference ``UniverseGAN.training_step`` calls (manual
+    two-optimizer Lightning choreography, universe_gan.py:151-302) vs two
+    ``make_gan_train_step`` calls on identical converted weights, batch, and
+    pinned noise/sigma draws.  Asserts per-submodule parameter deltas, the
+    optimizer-moment effect (the 2nd step), EMA shadows, loss values, and
+    the scheduler-at-(2i, 2i+1) LR choreography.
+
+    Short schedule horizons (T_warmup=4) make the LR move ~50% per scheduler
+    step, so any drift in the update ordering (disc step -> scheduler ->
+    gen step -> EMA -> scheduler) is glaring rather than a 1e-8 epsilon.
+
+    The reference's disc optimizer registers the MRD parameters twice and
+    the MPD never (universe_gan.py:415-419, a real bug we intentionally
+    fix); the quirk is pinned below and the dynamics comparison runs against
+    a quirk-fixed disc optimizer (MPD+MRD once each, same hyperparameters
+    incl. torch.optim.AdamW's DEFAULT weight_decay=0.01)."""
+    import importlib
+    from types import SimpleNamespace
+
+    from open_universe_tpu.nn.module import buffer_mask
+    from open_universe_tpu.train.optim import adamw
+    from open_universe_tpu.train.steps import (
+        init_train_state,
+        make_gan_train_step,
+    )
+    from open_universe_tpu.train.trainer import _build_schedule
+
+    sched_over = {}
+    for role in ("generator", "discriminator"):
+        sched_over.update({
+            f"scheduler.{role}.scheduler.T_warmup": 4,
+            f"scheduler.{role}.scheduler.T_cosine": 6,
+            f"scheduler.{role}.scheduler.T_max": 12,
+            f"scheduler.{role}.scheduler.eta_min": 1e-4,
+        })
+    pair = Pair("default", seed=13, overrides=sched_over)
+    tm, mm, cfg = pair.tm, pair.mm, pair.cfg
+    tm.train()
+
+    t_len = 4000  # multiple of tot_ds=160, > the 2048-fft MRD branch
+    rng = np.random.default_rng(21)
+    target = (rng.standard_normal((2, 1, t_len)) * 0.2).astype(np.float32)
+    mix = (target + 0.1 * rng.standard_normal((2, 1, t_len))).astype(
+        np.float32)
+    zs = [rng.standard_normal((2, 1, t_len)).astype(np.float32)
+          for _ in range(2)]
+    sigmas = [np.array([0.9, 0.05], np.float32),
+              np.array([0.3, 1.8], np.float32)]
+
+    # ---- reference side: optimizers + schedulers via configure_optimizers
+    # (CosineAnnealingLR in the installed torch lost the ``verbose`` arg the
+    # reference passes through positionally)
+    orig_cos_init = torch.optim.lr_scheduler.CosineAnnealingLR.__init__
+
+    def cos_init_compat(self, optimizer, T_max, eta_min=0.0, last_epoch=-1,
+                        verbose=False):
+        orig_cos_init(self, optimizer, T_max, eta_min, last_epoch)
+
+    torch.optim.lr_scheduler.CosineAnnealingLR.__init__ = cos_init_compat
+    try:
+        (opt_gen, opt_disc_buggy), (sch_g_cfg, sch_d_cfg) = \
+            tm.configure_optimizers()
+
+        # pin the reference quirk: MRD registered twice, MPD never
+        buggy = [p for g in opt_disc_buggy.param_groups for p in g["params"]]
+        mpd_params = list(tm.loss_mpd.parameters())
+        mrd_params = list(tm.loss_mrd.parameters())
+        assert len(buggy) == 2 * len(mrd_params)
+        assert not any(any(p is q for q in mpd_params) for p in buggy)
+
+        # quirk-fixed disc optimizer: both discriminators once, reference
+        # hyperparameters (no weight_decay in the config -> torch default)
+        dcfg = cfg["optimizer"]["discriminator"]
+        opt_disc = torch.optim.AdamW(
+            mpd_params + mrd_params, lr=dcfg["lr"],
+            betas=tuple(dcfg["betas"]))
+        ref_gan_mod = importlib.import_module(
+            "open_universe.networks.universe.universe_gan")
+        sch_disc = ref_gan_mod.instantiate_scheduler(
+            tm.schedule_kwargs["discriminator"], opt_disc)["scheduler"]
+        tm.set_optimizers([opt_gen, opt_disc],
+                          [sch_g_cfg["scheduler"], sch_disc])
+        tm.trainer = SimpleNamespace(is_last_batch=False)
+
+        # record the LR each optimizer actually used (the scheduler steps
+        # BETWEEN the disc and gen updates, so they differ within one step)
+        gen_lrs, disc_lrs = [], []
+        orig_gstep, orig_dstep = opt_gen.step, opt_disc.step
+
+        def gstep(*a, **k):
+            gen_lrs.append(opt_gen.param_groups[0]["lr"])
+            return orig_gstep(*a, **k)
+
+        def dstep(*a, **k):
+            disc_lrs.append(opt_disc.param_groups[0]["lr"])
+            return orig_dstep(*a, **k)
+
+        opt_gen.step, opt_disc.step = gstep, dstep
+
+        ref_logs = []
+        with _patched_train_randomness(pair, zs, sigmas):
+            for i in range(2):
+                tm.global_step = i
+                tm.training_step(
+                    (torch.from_numpy(mix), torch.from_numpy(target)), i)
+                ref_logs.append({k: float(v) for k, v in tm.logged.items()})
+
+            # ---- our side: mirror the Trainer's optimizer construction
+            params0 = pair.params
+            mask = buffer_mask(mm, params0)
+            gen_keys = list(mm.model_param_keys())
+            gcfg = cfg["optimizer"]["generator"]
+            sched_g = _build_schedule(cfg["scheduler"]["generator"],
+                                      gcfg["lr"], 12, gan_role="generator",
+                                      freeze_step=0)
+            sched_d = _build_schedule(cfg["scheduler"]["discriminator"],
+                                      dcfg["lr"], 12,
+                                      gan_role="discriminator", freeze_step=0)
+            # mirror the Trainer: the signal_decoupling_layer is in the
+            # forward but never optimized (reference configure_optimizers
+            # quirk — see UniverseGAN.optimized_param_keys)
+            optimized = set(mm.optimized_param_keys())
+            gen_mask = {
+                k: (mask[k] if k in optimized else jax.tree_util.tree_map(
+                    lambda _: False, mask[k]))
+                for k in gen_keys}
+            tx_gen = adamw(
+                sched_g, betas=tuple(gcfg["betas"]),
+                weight_decay=gcfg.get("weight_decay", 0.0),
+                weight_decay_exclude=gcfg.get("weight_decay_exclude",
+                                              ("prelu", "bias")),
+                params={k: params0[k] for k in gen_keys},
+                trainable_mask=gen_mask)
+            tx_disc = adamw(sched_d, betas=tuple(dcfg["betas"]),
+                            weight_decay=0.01)
+            state = init_train_state(mm, params0, tx_gen, disc_tx=tx_disc)
+            step_fn = make_gan_train_step(
+                mm, tx_gen, tx_disc,
+                grad_clip_vals=cfg["optimizer"]["grad_clip_vals"])
+            batch = {"noisy": jnp.asarray(mix.transpose(0, 2, 1)),
+                     "clean": jnp.asarray(target.transpose(0, 2, 1))}
+            my_metrics = []
+            for i in range(2):
+                state, metrics = step_fn(state, batch, jax.random.key(i))
+                my_metrics.append(metrics)
+    finally:
+        torch.optim.lr_scheduler.CosineAnnealingLR.__init__ = orig_cos_init
+
+    # ---- LR choreography: disc at sched(2i), gen at sched(2i+1)
+    for i in range(2):
+        np.testing.assert_allclose(float(sched_d(i)), disc_lrs[i], rtol=1e-6,
+                                   err_msg=f"disc lr step {i}")
+        np.testing.assert_allclose(float(sched_g(i)), gen_lrs[i], rtol=1e-6,
+                                   err_msg=f"gen lr step {i}")
+
+    # ---- loss values per step (step 0 pre-update; step 1 post-moments)
+    for i in range(2):
+        for name in ("train/loss_disc", "train/loss_gen", "train/score",
+                     "train/signal_mel"):
+            np.testing.assert_allclose(
+                float(my_metrics[i][name]), ref_logs[i][name],
+                rtol=1e-3, atol=1e-6, err_msg=f"step {i} {name}")
+
+    # ---- per-submodule parameter deltas after 2 steps
+    ref_after, _ = convert_state_dict(mm, tm.state_dict())
+    ref_after = jax_tree_asarray(ref_after)
+    for key in (*gen_keys, "loss_mpd", "loss_mrd"):
+        d_ref = _flat_delta(ref_after[key], params0[key])
+        d_my = _flat_delta(state["params"][key], params0[key])
+        ref_norm = np.linalg.norm(d_ref)
+        if key not in optimized and key not in ("loss_mpd", "loss_mrd"):
+            # the never-optimized signal_decoupling_layer must stay at init
+            # on BOTH sides (reference configure_optimizers quirk)
+            assert ref_norm == 0, f"{key}: reference moved unexpectedly"
+            assert np.linalg.norm(d_my) == 0, f"{key}: ours moved"
+            continue
+        assert ref_norm > 0, f"{key}: reference did not move"
+        rel = np.linalg.norm(d_my - d_ref) / ref_norm
+        assert rel < 5e-3, f"{key}: delta mismatch rel={rel:.2e}"
+
+    # ---- EMA shadows (updated after the gen step, decay min-rule at t=1,2)
+    sd_after = tm.state_dict()
+    subs = list(gen_keys)
+    if any(k.startswith("_edm_model.") for k in sd_after):
+        subs = ["_edm_model" if s == "score_model" else s for s in subs]
+    ema_params = apply_ema_shadow(
+        mm, convert_state_dict(mm, sd_after)[0], sd_after,
+        tm.ema.state_dict()["shadow_params"], subs)
+    ema_params = jax_tree_asarray(ema_params)
+    for key in gen_keys:
+        d_ref = _flat_delta(ema_params[key], params0[key])
+        d_my = _flat_delta(state["ema"]["shadow"][key], params0[key])
+        rel = (np.linalg.norm(d_my - d_ref)
+               / max(np.linalg.norm(d_ref), 1e-30))
+        assert rel < 5e-3, f"ema/{key}: shadow mismatch rel={rel:.2e}"
 
 
 @pytest.mark.parametrize("scale_invariant", [False, True])
