@@ -50,7 +50,16 @@ def summarize(results, ignore_inf=True):
         summary["number"] += 1
     for met in metrics:
         summary[met] = summary[met] / max(denom[met], 1)
-    return dict(summary)
+    out = dict(summary)
+    if any(met.startswith("pesq") for met in metrics):
+        # self-describing honesty flag: the in-house P.862 fallback is
+        # rank-conformant but NOT absolute-MOS conformant (metrics/p862.py
+        # conformance note; PARITY.md quantifies the bound) — downstream
+        # tables must be able to tell which implementation scored this run
+        from ..metrics.wrapper import pesq_available
+
+        out["pesq_conformant"] = bool(pesq_available())
+    return out
 
 
 _AUDIO_EXTS = (".wav", ".flac", ".mp3")

@@ -54,6 +54,15 @@ def main(argv=None):
     rows = [[lbl] + read_results(path, args.metrics)
             for lbl, path in zip(labels, args.results)]
     print(format_table(rows, headers))
+    if any(m.startswith("pesq") for m in args.metrics):
+        flags = []
+        for path in args.results:
+            with open(path) as f:
+                flags.append(json.load(f).get("pesq_conformant"))
+        if any(fl is False for fl in flags):
+            print("note: pesq columns were scored by the in-house P.862 "
+                  "fallback (rank-conformant, absolute MOS not ITU-"
+                  "conformant; see PARITY.md)")
     return 0
 
 

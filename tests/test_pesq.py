@@ -137,3 +137,44 @@ def test_pesq_low_inband_energy_guard():
         s = pesq(fs, x, x + n, mode="wb")
         assert s <= prev + 1e-9
         prev = s
+
+
+def test_mos_lqo_mapping_anchors():
+    """The published P.862.1 (NB) / P.862.2 (WB) raw->MOS-LQO logistic maps,
+    pinned at hardcoded anchor values (these constants ARE public, unlike the
+    ITU disturbance tables): y = 0.999 + 4 / (1 + exp(-a*x + b)) with
+    a,b = (1.3669, 3.8224) WB and (1.4945, 4.6607) NB.  These anchors +
+    the identical-signal fixed points are the only absolute calibration
+    derivable offline; PARITY.md documents the resulting error bound."""
+    from open_universe_tpu.metrics.p862 import pesq_raw  # noqa: F401
+    import open_universe_tpu.metrics.p862 as p862
+
+    def mos(raw, mode):
+        # drive the real mapping through the public function by patching the
+        # raw score (the mapping is the last stage of pesq())
+        orig = p862.pesq_raw
+        p862.pesq_raw = lambda *a, **k: raw
+        try:
+            x = np.zeros(16000, np.float32)
+            return p862.pesq(16000, x, x, mode)
+        finally:
+            p862.pesq_raw = orig
+
+    anchors = {
+        "wb": [(0.0, 1.084628), (1.0, 1.315149), (2.5, 2.599303),
+               (4.5, 4.643889)],
+        "nb": [(0.0, 1.036485), (1.0, 1.160831), (2.5, 2.135208),
+               (4.5, 4.548638)],
+    }
+    for mode, pts in anchors.items():
+        for raw, expect in pts:
+            assert mos(raw, mode) == pytest.approx(expect, abs=1e-5), (
+                mode, raw)
+
+    # Lipschitz constant of the mapping (used by PARITY.md's error-bound
+    # statement |dMOS| <= a * |d raw|): numeric max slope stays below a.
+    for mode, a in (("wb", 1.3669), ("nb", 1.4945)):
+        xs = np.linspace(-1.0, 6.0, 2001)
+        ys = np.array([mos(x, mode) for x in xs])
+        slope = np.max(np.abs(np.diff(ys) / np.diff(xs)))
+        assert slope <= a + 1e-6, (mode, slope)
