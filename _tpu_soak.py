@@ -1,4 +1,5 @@
-"""Long on-chip GAN training soak (round-2 item: schedules/EMA/resume proof).
+"""Long on-chip GAN training soak (r2: schedules/EMA/resume proof; r3:
+quality must HOLD past the r2 peak instead of collapsing).
 
 Two-phase run on the real TPU chip against a synthetic denoising task:
 
@@ -11,15 +12,24 @@ so the LR curve is continuous across the restart — the resume proof is that
 phase 2 picks up at step 12500 with the same optimizer/EMA/clipper state and
 the metric trajectory continues without a discontinuity.
 
+r2 post-mortem: with 256 train clips the MPD/MRD discriminators overfit
+after ~17.5k steps and val/pesq collapsed (3.41 @15k -> 1.77 @25k,
+notes/soak_r2).  r3 removes the bottleneck the way the reference recipe
+does implicitly (VB-DEMAND is ~10k clips x 300k steps): 2048 train clips
+(8x) AND training.dynamic_mixing=true (the reference's own augmentation,
+universe_gan.py:167-170 — re-pairs every batch's noise across samples, so
+the discriminators see ~batch! distinct mixtures per epoch) on top of the
+existing random 0.5 s crops from 2 s files.
+
 Validation every 2500 steps runs the real metric loop: 5-bin score loss
 (feeding the adaptive-time-sampling histogram), enhancement on val batches,
 EvalMetrics (val/pesq via in-house P.862, val/si-sdr, val/lsd, val/stoi),
 and TensorBoard audio.  Each validate() result is appended to
-exp/soak_r2/val_curve.jsonl for the working-notes summary.
+<run_dir>/val_curve.jsonl; finished-run evidence is copied to notes/soak_r3.
 
 Matches reference behavior being soaked: universe_gan.py training_step +
-validation loop (universe.py:560-704), LinearWarmupCosineAnnealingLR at 2x
-step, EMA(0.999), orbax resume.
+validation loop (universe.py:560-704), LinearWarmupCosineAnnealingLR at
+(2i, 2i+1) per optimization step, EMA(0.999), orbax resume.
 """
 import argparse
 import json
@@ -35,9 +45,10 @@ logging.basicConfig(
 log = logging.getLogger("soak")
 
 ROOT = Path(__file__).parent
-DATA = ROOT / "exp" / "soak_data"
-RUN = ROOT / "exp" / "soak_r2"
+DATA = ROOT / "exp" / "soak_data_r3"
+RUN = ROOT / "exp" / "soak_r3"
 FS = 16000
+N_TRAIN = 2048
 TOTAL_STEPS = 25_000
 PHASE1_STEPS = 12_500
 VAL_EVERY = 2_500
@@ -54,7 +65,7 @@ def make_dataset():
         return
     rng = np.random.default_rng(1234)
     t = np.arange(int(2.0 * FS)) / FS
-    for split, n in (("train", 256), ("val", 16), ("test", 16)):
+    for split, n in (("train", N_TRAIN), ("val", 16), ("test", 16)):
         (DATA / split / "clean").mkdir(parents=True, exist_ok=True)
         (DATA / split / "noisy").mkdir(parents=True, exist_ok=True)
         for i in range(n):
@@ -96,7 +107,9 @@ def build(max_steps):
         "datamodule.train.dl_opts.batch_size=16",
         "model.training.compute_dtype=bf16",
         "model.training.nan_guard=true",
-        "+model.validation.num_tb_samples=2"  # not declared in model/default.yaml (same as the reference),
+        "model.training.dynamic_mixing=true",
+        # num_tb_samples is not declared in model/default.yaml (same as ref)
+        "+model.validation.num_tb_samples=2",
         # shorter horizons so the 25k soak actually exercises the
         # warmup->cosine shape (still evaluated at 2x step like the ref)
         "model.scheduler.generator.scheduler.T_warmup=4000",
