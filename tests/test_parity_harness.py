@@ -101,3 +101,45 @@ def test_build_report_no_compared_metrics_is_not_parity():
                        ["si-sdr", "pesq-wb"])
     assert rep["parity"] is False
     assert rep["n_compared"] == 0
+
+
+def test_hf_hub_path_from_local_fixture(tiny_ckpt, monkeypatch, rng):
+    """The hour network exists, ``--model line-corporation/open-universe:
+    plusplus`` must work first try.  Pre-flight the whole HF branch of
+    load_model (repo:rev parsing -> hf_hub_download calls -> ckpt+config
+    ingest -> enhance) against a fake huggingface_hub serving the tiny
+    local fixture (reference model_loader.py:62-137)."""
+    import sys
+    import types
+
+    import jax.numpy as jnp
+
+    from open_universe_tpu.inference import model_loader
+
+    calls = []
+
+    def fake_download(repo_id, filename, revision=None):
+        calls.append((repo_id, filename, revision))
+        path = tiny_ckpt.parent / filename
+        assert path.exists(), filename
+        return str(path)
+
+    fake_hub = types.ModuleType("huggingface_hub")
+    fake_hub.hf_hub_download = fake_download
+    monkeypatch.setitem(sys.modules, "huggingface_hub", fake_hub)
+
+    model, params = model_loader.load_model(
+        "line-corporation/open-universe:plusplus")
+    assert calls == [
+        ("line-corporation/open-universe", "weights.ckpt", "plusplus"),
+        ("line-corporation/open-universe", "config.yaml", "plusplus"),
+    ]
+    mix = jnp.asarray(0.1 * rng.standard_normal(1600).astype(np.float32))
+    out = model.enhance(params, mix, n_steps=2)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+    # no revision: rev=None reaches the hub default
+    calls.clear()
+    model_loader.load_model("line-corporation/open-universe")
+    assert calls[0] == ("line-corporation/open-universe", "weights.ckpt",
+                        None)
