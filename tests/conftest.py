@@ -12,9 +12,17 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = flags + " --xla_force_host_platform_device_count=8"
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # XLA:CPU's in-process collective rendezvous CHECK-aborts the process
+    # when a participant is >40 s late (rendezvous.cc termination timeout).
+    # On this 1-core host 8 device threads time-slice a single core, so a
+    # contended run can trip it spuriously (observed: SIGABRT in an
+    # all-reduce while a TPU soak shared the core).  Raise warn/terminate
+    # far above any plausible time-slice stall.
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=900")
+os.environ["XLA_FLAGS"] = flags.strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
