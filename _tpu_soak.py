@@ -14,12 +14,19 @@ the metric trajectory continues without a discontinuity.
 
 r2 post-mortem: with 256 train clips the MPD/MRD discriminators overfit
 after ~17.5k steps and val/pesq collapsed (3.41 @15k -> 1.77 @25k,
-notes/soak_r2).  r3 removes the bottleneck the way the reference recipe
-does implicitly (VB-DEMAND is ~10k clips x 300k steps): 2048 train clips
-(8x) AND training.dynamic_mixing=true (the reference's own augmentation,
-universe_gan.py:167-170 — re-pairs every batch's noise across samples, so
-the discriminators see ~batch! distinct mixtures per epoch) on top of the
-existing random 0.5 s crops from 2 s files.
+notes/soak_r2).  r3a raised that to 2048 clips (8x) AND
+training.dynamic_mixing=true (the reference's own augmentation,
+universe_gan.py:167-170) — and collapsed AT THE SAME STEP (peak 3.50 @15k,
+1.88 @25k; TB shows loss_disc 3.5 -> 2.2 while loss_gen 5 -> 13 from
+~12.5k): on a narrow synthetic manifold the discriminators eventually win
+regardless of dataset SIZE.  r3b (--infinite) attacks the manifold
+instead: the train split is generated procedurally per __getitem__ (never
+two identical clips over the whole run, 400k unique (clean, noise, snr)
+draws) from a much richer clean family — f0 glides + vibrato, 2..6
+harmonics with random spectral tilt and a formant-like envelope,
+syllable-like amplitude gating — which is the offline stand-in for what
+VB-DEMAND's ~10k real recordings give the reference recipe.  Val/test stay
+the fixed on-disk sets so curves are comparable across runs.
 
 Validation every 2500 steps runs the real metric loop: 5-bin score loss
 (feeding the adaptive-time-sampling histogram), enhancement on val batches,
@@ -94,7 +101,76 @@ def make_dataset():
     log.info("dataset written to %s", DATA)
 
 
-def build(max_steps):
+class InfiniteSyntheticDataset:
+    """Duck-typed NoisyDataset whose train clips are synthesized per
+    __getitem__ from the index (no disk, never repeats across the run).
+
+    Clean family (a strict superset of make_dataset's fixed clips): f0 with
+    a random glide + vibrato, 2..6 harmonics with random per-harmonic tilt
+    shaped by a formant-like spectral envelope, syllable-like amplitude
+    gating on top of slow AM.  Noise: white + moving-average pink mix, at
+    0-12 dB SNR.  Same (noisy, clean, key) contract as NoisyDataset
+    (dataset.py:84-100) so the real DataLoader/prefetch path is exercised.
+    """
+
+    def __init__(self, n_items, audio_len=2.0, fs=FS, seed=0xA5):
+        self.fs = fs
+        self.split = "train"
+        self.audio_len = int(audio_len * fs)
+        self.clean_available = True
+        self.n_items = n_items
+        self.seed = seed
+
+    def __len__(self):
+        return self.n_items
+
+    def _clean(self, rng, t):
+        f0 = rng.uniform(100.0, 400.0)
+        glide = rng.uniform(-0.25, 0.25)           # octaves over the clip
+        vib = rng.uniform(0.0, 0.01) * np.sin(
+            2 * np.pi * rng.uniform(4.0, 7.0) * t + rng.uniform(0, 2 * np.pi))
+        inst = f0 * 2.0 ** (glide * t / t[-1] + vib)
+        phase = 2 * np.pi * np.cumsum(inst) / self.fs
+        formant = rng.uniform(300.0, 3000.0)
+        bw = rng.uniform(200.0, 1200.0)
+        tilt = rng.uniform(0.5, 2.0)
+        clean = np.zeros_like(t)
+        for h in range(1, 1 + int(rng.integers(2, 7))):
+            fh = f0 * h
+            if fh > 0.45 * self.fs:
+                break
+            amp = h ** -tilt * np.exp(-0.5 * ((fh - formant) / bw) ** 2)
+            am = 0.6 + 0.4 * np.sin(2 * np.pi * rng.uniform(0.5, 4.0) * t
+                                    + rng.uniform(0, 2 * np.pi))
+            clean += 0.12 * amp * am * np.sin(h * phase
+                                              + rng.uniform(0, 2 * np.pi))
+        # syllable-like gating: smooth on/off at 2-5 Hz
+        gate = np.sin(2 * np.pi * rng.uniform(2.0, 5.0) * t
+                      + rng.uniform(0, 2 * np.pi))
+        gate = 1.0 / (1.0 + np.exp(-8.0 * gate))
+        clean *= 0.3 + 0.7 * gate
+        env = np.minimum(1.0, np.minimum(t, t[-1] - t) / 0.05)
+        return clean * env
+
+    def __getitem__(self, idx, rng=None):
+        # independent of the loader's rng: the stream is fully determined by
+        # (seed, idx) so a resumed run re-generates identical items
+        g = np.random.default_rng((self.seed << 32) ^ idx)
+        t = np.arange(self.audio_len) / self.fs
+        clean = self._clean(g, t)
+        white = g.standard_normal(t.shape)
+        pink = np.convolve(white, np.ones(8) / 8.0, mode="same")
+        mix = g.uniform(0.0, 1.0)
+        noise = (1.0 - mix) * white + mix * pink
+        snr_db = g.uniform(0.0, 12.0)
+        gain = (np.linalg.norm(clean)
+                / (np.linalg.norm(noise) * 10 ** (snr_db / 20.0) + 1e-9))
+        noisy = clean + gain * noise
+        return (noisy[None, :].astype(np.float32),
+                clean[None, :].astype(np.float32), f"syn{idx:07d}")
+
+
+def build(max_steps, infinite=False):
     from open_universe_tpu.configs.registry import instantiate
     from open_universe_tpu.configs.resolve import compose
     from open_universe_tpu.parallel.mesh import make_mesh
@@ -122,6 +198,13 @@ def build(max_steps):
     cfg = compose("config", overrides)
     dm = instantiate(cfg["datamodule"])
     model = instantiate(cfg["model"])
+    if infinite:
+        # swap ONLY the train split for the procedural stream (val/test stay
+        # the fixed on-disk sets so curves are comparable across soaks);
+        # sized so the run never sees the same item twice
+        dm.setup()
+        dm.datasets["train"] = InfiniteSyntheticDataset(
+            n_items=max(400_000, 16 * TOTAL_STEPS), audio_len=0.5)
 
     class CurveTrainer(Trainer):
         def validate(self, step):
@@ -145,8 +228,13 @@ def main():
     ap.add_argument("--phase", type=int, required=True, choices=(1, 2))
     ap.add_argument("--smoke", action="store_true",
                     help="tiny step counts + separate run dir (config check)")
+    ap.add_argument("--infinite", action="store_true",
+                    help="procedural infinite train stream (run dir "
+                         "exp/soak_r3b); val/test stay the on-disk sets")
     args = ap.parse_args()
 
+    if args.infinite:
+        RUN = ROOT / "exp" / "soak_r3b"
     if args.smoke:
         RUN = ROOT / "exp" / "soak_smoke"
         TOTAL_STEPS, PHASE1_STEPS, VAL_EVERY = 20, 10, 5
@@ -155,13 +243,13 @@ def main():
     RUN.mkdir(parents=True, exist_ok=True)
 
     if args.phase == 1:
-        trainer = build(PHASE1_STEPS)
+        trainer = build(PHASE1_STEPS, infinite=args.infinite)
         t0 = time.time()
         trainer.fit()
         log.info("phase 1 done: %d steps in %.0fs", PHASE1_STEPS,
                  time.time() - t0)
     else:
-        trainer = build(TOTAL_STEPS)
+        trainer = build(TOTAL_STEPS, infinite=args.infinite)
         import jax
 
         trainer.restore(str(RUN / "checkpoints"))
