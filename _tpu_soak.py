@@ -231,6 +231,10 @@ def main():
     ap.add_argument("--infinite", action="store_true",
                     help="procedural infinite train stream (run dir "
                          "exp/soak_r3b); val/test stay the on-disk sets")
+    ap.add_argument("--resume", action="store_true",
+                    help="restore from the run dir's last checkpoint and "
+                         "continue the current phase (for runs killed "
+                         "mid-phase)")
     args = ap.parse_args()
 
     if args.infinite:
@@ -244,6 +248,12 @@ def main():
 
     if args.phase == 1:
         trainer = build(PHASE1_STEPS, infinite=args.infinite)
+        if args.resume:
+            import jax
+
+            trainer.restore(str(RUN / "checkpoints"))
+            log.info("phase 1 resumed at step %d",
+                     int(jax.device_get(trainer.state["step"])))
         t0 = time.time()
         trainer.fit()
         log.info("phase 1 done: %d steps in %.0fs", PHASE1_STEPS,

@@ -13,6 +13,17 @@ driver proves every OTHER leg, chained off one short on-chip GAN run:
   python _tpu_workflow_chain.py export    # export_torch -> reload -> compare
   python _tpu_workflow_chain.py all
 
+r3 (VERDICT weak #3): the r2 chain seeded every leg off its own 3k-step
+run, whose checkpoint *degraded* the test clips — fine as plumbing proof,
+useless as a product proof.  ``--gan-run <dir>`` seeds the chain from an
+existing trained run (e.g. the 25k soak's best checkpoint) instead of
+training one, and ``--data <dir>`` points at that run's dataset; with
+``all`` the train leg is skipped.  The resulting chain_summary.json must
+show enhanced > noisy:
+
+  python _tpu_workflow_chain.py all --gan-run exp/soak_r3b \
+      --data exp/soak_data_r3 --tag r3
+
 Matches reference journey: train.py -> universe/lora.py:39 (load_model from
 a run, EMA fold, LoRA inject) -> bin/enhance.py -> bin/eval_metrics.py.
 Everything below uses the public CLIs / Trainer API only — no private hooks —
@@ -204,11 +215,33 @@ PHASES = {
 
 
 def main():
+    global DATA, RUN_GAN, RUN_LORA, OUT
     ap = argparse.ArgumentParser()
     ap.add_argument("phase", choices=list(PHASES) + ["all"])
+    ap.add_argument("--gan-run", type=Path, default=None,
+                    help="seed the chain from this existing run dir instead "
+                         "of training the 3k GAN leg (e.g. exp/soak_r3b)")
+    ap.add_argument("--data", type=Path, default=None,
+                    help="dataset root with test/{clean,noisy} (defaults to "
+                         "the chain's own synthetic task)")
+    ap.add_argument("--tag", default=None,
+                    help="output namespace: exp/chain_<tag>/ (default r2, "
+                         "or r3 when --gan-run is given)")
     args = ap.parse_args()
+    tag = args.tag or ("r3" if args.gan_run else "r2")
+    RUN_LORA = ROOT / "exp" / f"chain_{tag}" / "lora"
+    OUT = ROOT / "exp" / f"chain_{tag}" / "enhanced"
+    if args.data is not None:
+        DATA = args.data.resolve()
+    if args.gan_run is not None:
+        RUN_GAN = args.gan_run.resolve()
+    else:
+        RUN_GAN = ROOT / "exp" / f"chain_{tag}" / "gan"
+    phases = dict(PHASES)
+    if args.gan_run is not None:
+        phases.pop("train")
     if args.phase == "all":
-        for name, fn in PHASES.items():
+        for name, fn in phases.items():
             log.info("=== phase %s ===", name)
             fn()
     else:
