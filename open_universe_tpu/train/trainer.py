@@ -644,9 +644,17 @@ class Trainer:
         if p.is_dir() and (p / "last.json").exists():
             with open(p / "last.json") as f:
                 p = Path(json.load(f)["path"])
+        # Template from shape/dtype metadata only: device_get-ing the whole
+        # freshly-initialized state just to shape the restore is a multi-GB
+        # device->host transfer, and bulk transfers are the axon tunnel's
+        # known wedge point (r3: a resume hung >15 min in exactly that
+        # device_get with the service itself healthy).
+        template = jax.tree.map(
+            lambda x: np.zeros(getattr(x, "shape", ()),
+                               getattr(x, "dtype", np.int64)),
+            self.state)
         with ocp.PyTreeCheckpointer() as ckptr:
-            restored = ckptr.restore(p.absolute(),
-                                     item=jax.device_get(self.state))
+            restored = ckptr.restore(p.absolute(), item=template)
         self.state = shard_params(self.mesh, restored,
                                   min_last=self.tp_min_shard)
         log.info("restored checkpoint %s (step %d)", p,
