@@ -139,7 +139,13 @@ class InfiniteSyntheticDataset:
             fh = f0 * h
             if fh > 0.45 * self.fs:
                 break
-            amp = h ** -tilt * np.exp(-0.5 * ((fh - formant) / bw) ** 2)
+            # floor the formant envelope: it SHAPES the spectrum but must
+            # never annihilate every harmonic (r3b post-mortem: with
+            # formant>>6*f0 the bare gaussian made ~13% of clips < 1e-4 RMS
+            # and 5% < 1e-8 — numerically-silent (noisy, clean) pairs whose
+            # noise gain also collapsed, and training diverged on them)
+            amp = h ** -tilt * (
+                0.1 + 0.9 * np.exp(-0.5 * ((fh - formant) / bw) ** 2))
             am = 0.6 + 0.4 * np.sin(2 * np.pi * rng.uniform(0.5, 4.0) * t
                                     + rng.uniform(0, 2 * np.pi))
             clean += 0.12 * amp * am * np.sin(h * phase
@@ -150,7 +156,13 @@ class InfiniteSyntheticDataset:
         gate = 1.0 / (1.0 + np.exp(-8.0 * gate))
         clean *= 0.3 + 0.7 * gate
         env = np.minimum(1.0, np.minimum(t, t[-1] - t) / 0.05)
-        return clean * env
+        clean *= env
+        # pin the loudness to the on-disk family's range (log-uniform RMS in
+        # [-46, -24] dBFS) so no draw of (tilt, formant, gate) can produce a
+        # degenerate near-silent clip
+        rms = float(np.sqrt(np.mean(clean ** 2)))
+        target = 10.0 ** rng.uniform(np.log10(0.005), np.log10(0.06))
+        return clean * (target / (rms + 1e-12))
 
     def __getitem__(self, idx, rng=None):
         # independent of the loader's rng: the stream is fully determined by
@@ -238,7 +250,10 @@ def main():
     args = ap.parse_args()
 
     if args.infinite:
-        RUN = ROOT / "exp" / "soak_r3b"
+        # r3c: r3b's stream had the degenerate-clip bug (see _clean); its
+        # run collapsed from the start (notes/soak_r3b) so r3c restarts
+        # from scratch on the fixed stream
+        RUN = ROOT / "exp" / "soak_r3c"
     if args.smoke:
         RUN = ROOT / "exp" / "soak_smoke"
         TOTAL_STEPS, PHASE1_STEPS, VAL_EVERY = 20, 10, 5
