@@ -279,7 +279,42 @@ class Trainer:
         return self.state["params"]
 
     # ------------------------------------------------------------------
+    def _warmup_collectives(self):
+        """Establish the mesh's communicator clique while all processes are
+        still aligned (multi-host only; no-op otherwise).
+
+        Communicator-context creation has a short rendezvous timeout on some
+        backends (Gloo on XLA:CPU hardcodes ~30 s), while the processes'
+        independent train-step compiles can skew their arrival at the first
+        real collective by minutes. Contexts are cached per clique across
+        executables (probed: a warmed clique survives a 90 s skew), so one
+        tiny all-reduce here moves the skew from the unconfigurable context
+        init onto the ordinary collective-stuck timeouts."""
+        if jax.process_count() <= 1 or getattr(self, "_collectives_warm",
+                                               False):
+            return
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        names = self.mesh.axis_names
+        # the full-mesh clique plus each axis's subgroup cliques (a psum
+        # over 'dp' of a dp x tp mesh rendezvouses tp-many 4-device cliques,
+        # distinct from the 8-device one)
+        groups = [names] + ([(a,) for a in names] if len(names) > 1 else [])
+        for axes in groups:
+            f = shard_map(partial(jax.lax.psum, axis_name=axes),
+                          mesh=self.mesh, in_specs=P(), out_specs=P(),
+                          check_rep=False)
+            size = int(np.prod([self.mesh.shape[a] for a in axes]))
+            got = float(jax.device_get(jax.jit(f)(jnp.float32(1.0))))
+            assert got == size, (axes, got, size)
+        self._collectives_warm = True
+        log.info("collective cliques warmed (%s) over %d devices",
+                 ",".join("+".join(g) for g in groups),
+                 int(self.mesh.devices.size))
+
     def fit(self, resume_from: Optional[str] = None):
+        self._warmup_collectives()
         if resume_from:
             self.restore(resume_from)
         step = int(jax.device_get(self.state["step"]))
@@ -480,6 +515,7 @@ class Trainer:
         same JSON schema as bin/eval_metrics."""
         from ..bin.eval_metrics import summarize
 
+        self._warmup_collectives()
         if step is None:
             step = int(jax.device_get(self.state["step"]))
         params = self._eval_params()
@@ -641,6 +677,9 @@ class Trainer:
 
         self._wait_for_saves()
         p = Path(path)
+        if p.is_dir() and not (p / "last.json").exists() \
+                and (p / "checkpoints" / "last.json").exists():
+            p = p / "checkpoints"  # a run dir, not its checkpoints subdir
         if p.is_dir() and (p / "last.json").exists():
             with open(p / "last.json") as f:
                 p = Path(json.load(f)["path"])

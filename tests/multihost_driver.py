@@ -49,12 +49,29 @@ def main():
                       str(Path(__file__).resolve().parents[1] / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    # shutdown_timeout raised from the 300 s default: on this contended
+    # 1-core host rank-0's end-of-run finalization (TB flush, orbax commit)
+    # can lag rank-1's exit by minutes, and the default barrier killed the
+    # pod (r3: "Shutdown barrier timed out, 1/2 tasks reached")
     jax.distributed.initialize(coordinator_address=args.coordinator,
                                num_processes=args.num_processes,
-                               process_id=args.process_id)
+                               process_id=args.process_id,
+                               shutdown_timeout_seconds=1800)
     assert jax.process_count() == args.num_processes
     assert jax.local_device_count() == 4, jax.local_devices()
     assert jax.device_count() == 4 * args.num_processes
+
+    # Initialize the Gloo collective context NOW, while both processes are
+    # within seconds of each other: context creation has a hardcoded 30 s
+    # KV-store rendezvous timeout ("Gloo context initialization failed:
+    # DEADLINE_EXCEEDED"), and on this contended 1-core host the two
+    # processes' serialized train-step compiles can skew their arrival at
+    # the first in-step allreduce by minutes. Once the clique context
+    # exists, later collectives wait under the (raised) XLA:CPU stuck
+    # timeouts instead.
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("multihost_driver:collective-warmup")
 
     from open_universe_tpu.configs.registry import instantiate
     from open_universe_tpu.configs.resolve import compose
@@ -92,6 +109,13 @@ def main():
     digest = float(np.sum(np.asarray(jax.device_get(leaf), np.float64)))
     print(f"MULTIHOST_OK p{args.process_id} step={step} digest={digest:.10e}",
           flush=True)
+
+    # same end-of-run choreography as train.py: sync before exit so the
+    # faster rank doesn't enter the distributed shutdown barrier minutes
+    # ahead of rank-0's finalization work
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("multihost_driver:done")
 
 
 if __name__ == "__main__":

@@ -45,14 +45,11 @@ def main(argv=None):
     platform = cfg.get("platform")
     if platform:
         # on jax 0.9 this silently no-ops if a backend is already
-        # initialized, so verify the effective backend afterwards instead of
-        # relying on an exception
+        # initialized, so verify the effective backend afterwards (below,
+        # AFTER the multihost block: jax.default_backend() itself
+        # initializes the backend, and jax.distributed.initialize must run
+        # before any backend use) instead of relying on an exception
         jax.config.update("jax_platforms", str(platform))
-        if jax.default_backend() != str(platform):
-            raise RuntimeError(
-                f"platform={platform} requested but the jax backend already "
-                f"initialized to {jax.default_backend()!r}; set it before "
-                "any jax array/device use (or launch a fresh process)")
 
     # multi-host pods: initialize the distributed runtime before any backend
     # use.  With bare `multihost: true`, jax.distributed.initialize()
@@ -64,6 +61,15 @@ def main(argv=None):
     #     process_id: 0        # (or leave to per-host overrides)
     # This replaces the reference's Lightning DDP spawn + rank env plumbing
     # (reference utils/ddp.py).
+    # persistent compilation cache: repeat launches (and the other processes
+    # of a multi-host pod, which compile identical programs) hit warm
+    # entries instead of recompiling. compile_cache=null disables.
+    cache_dir = cfg.get("compile_cache", ".jax_cache")
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
     mh = cfg.get("multihost")
     if mh:
         if isinstance(mh, dict):
@@ -83,11 +89,28 @@ def main(argv=None):
             jax.distributed.initialize(
                 coordinator_address=mh.get("coordinator_address"),
                 num_processes=mh.get("num_processes"),
-                process_id=mh.get("process_id"))
+                process_id=mh.get("process_id"),
+                shutdown_timeout_seconds=int(
+                    mh.get("shutdown_timeout_seconds", 1200)))
         else:
             jax.distributed.initialize()
         log.info("distributed: process %d / %d", jax.process_index(),
                  jax.process_count())
+    if platform and jax.default_backend() != str(platform):
+        raise RuntimeError(
+            f"platform={platform} requested but the jax backend already "
+            f"initialized to {jax.default_backend()!r}; set it before "
+            "any jax array/device use (or launch a fresh process)")
+    if mh:
+        # eager collective warmup: initializes the communicator clique while
+        # all processes are still aligned at startup (context creation has a
+        # short rendezvous timeout on some backends — e.g. Gloo's 30 s on
+        # XLA:CPU — while the processes' independent train-step compiles can
+        # skew their arrival at the first real collective by minutes), and
+        # fails fast on a mis-wired pod before any compile time is spent
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("train.py:collective-warmup")
 
     seed = cfg.get("seed", 0)
     np.random.seed(seed)
@@ -133,6 +156,15 @@ def main(argv=None):
         # real test-set evaluation (reference train.py:105-119): enhance the
         # test split and write test_results/test_summary JSON to the run dir
         trainer.test()
+
+    if mh:
+        # rank-0 does strictly more end-of-run work (TB flush, orbax commit
+        # metadata, test summaries); sync before the interpreters exit so no
+        # process races ahead into the distributed shutdown barrier and
+        # times it out while rank-0 is still finalizing
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("train.py:done")
 
 
 if __name__ == "__main__":
