@@ -57,6 +57,7 @@ RUN = ROOT / "exp" / "soak_r3"
 FS = 16000
 N_TRAIN = 2048
 TOTAL_STEPS = 25_000
+SCHED_STEPS = 25_000  # scheduler horizon: fixed even when --steps extends the run
 PHASE1_STEPS = 12_500
 VAL_EVERY = 2_500
 
@@ -182,7 +183,39 @@ class InfiniteSyntheticDataset:
                 clean[None, :].astype(np.float32), f"syn{idx:07d}")
 
 
-def build(max_steps, infinite=False):
+class HybridSyntheticDataset:
+    """50/50 mix of the fixed on-disk train set and the infinite stream.
+
+    Targets the observed GAN failure modes from both directions: the fixed
+    anchor set lets the generator converge the way r2/r3a did (quality forms
+    by ~15k), while the fresh half means the discriminators never see a
+    closed "real" set to overfit (the r2/r3a collapse mechanism) — and the
+    fully-fresh r3c run showed pure infinite data converges far too slowly
+    (val/lsd still 13.0 at 20k, pesq never formed).  Deterministic in
+    (seed, idx) like the stream, so resumes regenerate identical items.
+    """
+
+    def __init__(self, fixed, fresh, p_fresh=0.5, seed=0x5EED):
+        self.fixed = fixed
+        self.fresh = fresh
+        self.p_fresh = p_fresh
+        self.seed = seed
+        self.fs = fresh.fs
+        self.split = "train"
+        self.clean_available = True
+
+    def __len__(self):
+        return len(self.fresh)
+
+    def __getitem__(self, idx, rng=None):
+        g = np.random.default_rng((self.seed << 32) ^ idx)
+        if g.uniform() < self.p_fresh:
+            return self.fresh[idx]
+        return self.fixed.__getitem__(int(g.integers(len(self.fixed))),
+                                      rng=rng)
+
+
+def build(max_steps, infinite=False, hybrid=False):
     from open_universe_tpu.configs.registry import instantiate
     from open_universe_tpu.configs.resolve import compose
     from open_universe_tpu.parallel.mesh import make_mesh
@@ -202,21 +235,24 @@ def build(max_steps, infinite=False):
         # warmup->cosine shape (still evaluated at 2x step like the ref)
         "model.scheduler.generator.scheduler.T_warmup=4000",
         "model.scheduler.generator.scheduler.T_cosine=50000",
-        f"model.scheduler.generator.scheduler.T_max={2 * TOTAL_STEPS}",
+        f"model.scheduler.generator.scheduler.T_max={2 * SCHED_STEPS}",
         "model.scheduler.discriminator.scheduler.T_warmup=4000",
         "model.scheduler.discriminator.scheduler.T_cosine=50000",
-        f"model.scheduler.discriminator.scheduler.T_max={2 * TOTAL_STEPS}",
+        f"model.scheduler.discriminator.scheduler.T_max={2 * SCHED_STEPS}",
     ]
     cfg = compose("config", overrides)
     dm = instantiate(cfg["datamodule"])
     model = instantiate(cfg["model"])
-    if infinite:
+    if infinite or hybrid:
         # swap ONLY the train split for the procedural stream (val/test stay
         # the fixed on-disk sets so curves are comparable across soaks);
         # sized so the run never sees the same item twice
         dm.setup()
-        dm.datasets["train"] = InfiniteSyntheticDataset(
+        fresh = InfiniteSyntheticDataset(
             n_items=max(400_000, 16 * TOTAL_STEPS), audio_len=0.5)
+        if hybrid:
+            fresh = HybridSyntheticDataset(dm.datasets["train"], fresh)
+        dm.datasets["train"] = fresh
 
     class CurveTrainer(Trainer):
         def validate(self, step):
@@ -242,18 +278,32 @@ def main():
                     help="tiny step counts + separate run dir (config check)")
     ap.add_argument("--infinite", action="store_true",
                     help="procedural infinite train stream (run dir "
-                         "exp/soak_r3b); val/test stay the on-disk sets")
+                         "exp/soak_r3c); val/test stay the on-disk sets")
+    ap.add_argument("--hybrid", action="store_true",
+                    help="50/50 fixed-anchor-set + infinite-stream train "
+                         "split (run dir exp/soak_r3d)")
     ap.add_argument("--resume", action="store_true",
                     help="restore from the run dir's last checkpoint and "
                          "continue the current phase (for runs killed "
                          "mid-phase)")
+    ap.add_argument("--steps", type=int, default=None,
+                    help="override TOTAL_STEPS (phase 2 target), e.g. to "
+                         "extend a still-converging run past 25k with "
+                         "--phase 2 --resume --steps 35000")
     args = ap.parse_args()
+    if args.steps:
+        # extends max_steps only; build() pins the scheduler horizons from
+        # SCHED_STEPS so an extended run continues the SAME LR curve (past
+        # T_max the cosine clamps at its floor, like the reference's)
+        TOTAL_STEPS = args.steps
 
     if args.infinite:
         # r3c: r3b's stream had the degenerate-clip bug (see _clean); its
         # run collapsed from the start (notes/soak_r3b) so r3c restarts
         # from scratch on the fixed stream
         RUN = ROOT / "exp" / "soak_r3c"
+    if args.hybrid:
+        RUN = ROOT / "exp" / "soak_r3d"
     if args.smoke:
         RUN = ROOT / "exp" / "soak_smoke"
         TOTAL_STEPS, PHASE1_STEPS, VAL_EVERY = 20, 10, 5
@@ -262,7 +312,7 @@ def main():
     RUN.mkdir(parents=True, exist_ok=True)
 
     if args.phase == 1:
-        trainer = build(PHASE1_STEPS, infinite=args.infinite)
+        trainer = build(PHASE1_STEPS, infinite=args.infinite, hybrid=args.hybrid)
         if args.resume:
             import jax
 
@@ -274,13 +324,14 @@ def main():
         log.info("phase 1 done: %d steps in %.0fs", PHASE1_STEPS,
                  time.time() - t0)
     else:
-        trainer = build(TOTAL_STEPS, infinite=args.infinite)
+        trainer = build(TOTAL_STEPS, infinite=args.infinite, hybrid=args.hybrid)
         import jax
 
         trainer.restore(str(RUN / "checkpoints"))
         resumed = int(jax.device_get(trainer.state["step"]))
         log.info("phase 2 resumed at step %d", resumed)
-        assert resumed == PHASE1_STEPS, resumed
+        if not args.resume:
+            assert resumed == PHASE1_STEPS, resumed
         t0 = time.time()
         trainer.fit()
         log.info("phase 2 done: %d->%d steps in %.0fs", resumed,
