@@ -58,8 +58,11 @@ FS = 16000
 N_TRAIN = 2048
 TOTAL_STEPS = 25_000
 SCHED_STEPS = 25_000  # scheduler horizon: fixed even when --steps extends the run
+SCHED_COSINE = None   # train step where cosine decay starts (default: == horizon,
+                      # i.e. flat base LR for the whole run, like r3c/r3d)
 PHASE1_STEPS = 12_500
 VAL_EVERY = 2_500
+P_FRESH = 0.5
 
 
 def make_dataset():
@@ -102,16 +105,101 @@ def make_dataset():
     log.info("dataset written to %s", DATA)
 
 
+def _rich_clean(rng, t, fs):
+    """One clip from the rich clean family (a strict superset of
+    make_dataset's fixed clips): f0 with a random glide + vibrato, 2..6
+    harmonics with random per-harmonic tilt shaped by a formant-like
+    spectral envelope, syllable-like amplitude gating on top of slow AM."""
+    f0 = rng.uniform(100.0, 400.0)
+    glide = rng.uniform(-0.25, 0.25)           # octaves over the clip
+    vib = rng.uniform(0.0, 0.01) * np.sin(
+        2 * np.pi * rng.uniform(4.0, 7.0) * t + rng.uniform(0, 2 * np.pi))
+    inst = f0 * 2.0 ** (glide * t / t[-1] + vib)
+    phase = 2 * np.pi * np.cumsum(inst) / fs
+    formant = rng.uniform(300.0, 3000.0)
+    bw = rng.uniform(200.0, 1200.0)
+    tilt = rng.uniform(0.5, 2.0)
+    clean = np.zeros_like(t)
+    for h in range(1, 1 + int(rng.integers(2, 7))):
+        fh = f0 * h
+        if fh > 0.45 * fs:
+            break
+        # floor the formant envelope: it SHAPES the spectrum but must
+        # never annihilate every harmonic (r3b post-mortem: with
+        # formant>>6*f0 the bare gaussian made ~13% of clips < 1e-4 RMS
+        # and 5% < 1e-8 — numerically-silent (noisy, clean) pairs whose
+        # noise gain also collapsed, and training diverged on them)
+        amp = h ** -tilt * (
+            0.1 + 0.9 * np.exp(-0.5 * ((fh - formant) / bw) ** 2))
+        am = 0.6 + 0.4 * np.sin(2 * np.pi * rng.uniform(0.5, 4.0) * t
+                                + rng.uniform(0, 2 * np.pi))
+        clean += 0.12 * amp * am * np.sin(h * phase
+                                          + rng.uniform(0, 2 * np.pi))
+    # syllable-like gating: smooth on/off at 2-5 Hz
+    gate = np.sin(2 * np.pi * rng.uniform(2.0, 5.0) * t
+                  + rng.uniform(0, 2 * np.pi))
+    gate = 1.0 / (1.0 + np.exp(-8.0 * gate))
+    clean *= 0.3 + 0.7 * gate
+    env = np.minimum(1.0, np.minimum(t, t[-1] - t) / 0.05)
+    clean *= env
+    # pin the loudness to the on-disk family's range (log-uniform RMS in
+    # [-46, -24] dBFS) so no draw of (tilt, formant, gate) can produce a
+    # degenerate near-silent clip
+    rms = float(np.sqrt(np.mean(clean ** 2)))
+    target = 10.0 ** rng.uniform(np.log10(0.005), np.log10(0.06))
+    return clean * (target / (rms + 1e-12))
+
+
+def _rich_noisy(rng, clean):
+    """white + moving-average-pink noise mix at 0-12 dB SNR."""
+    white = rng.standard_normal(clean.shape)
+    pink = np.convolve(white, np.ones(8) / 8.0, mode="same")
+    mix = rng.uniform(0.0, 1.0)
+    noise = (1.0 - mix) * white + mix * pink
+    snr_db = rng.uniform(0.0, 12.0)
+    gain = (np.linalg.norm(clean)
+            / (np.linalg.norm(noise) * 10 ** (snr_db / 20.0) + 1e-9))
+    return clean + gain * noise
+
+
+def make_dataset_rich(data_dir, n_train, clip_seconds=2.0):
+    """On-disk train/val/test splits drawn from the RICH family (r4).
+
+    The closest offline stand-in for the reference's VB-DEMAND setup:
+    a fixed train set (repetition is what forms GAN quality — r2/r3a) whose
+    clean manifold is rich (manifold complexity, not dataset size, is what
+    resists discriminator closure — r3a collapsed at the same step as r2
+    with 8x the clips, while r3c/r3d on the rich family never collapsed),
+    with val/test held out from the SAME family so metrics measure
+    generalization inside the distribution, like the reference's."""
+    from open_universe_tpu.data.audio import save_audio
+
+    if (data_dir / ".done").exists():
+        return
+    t = np.arange(int(clip_seconds * FS)) / FS
+    for split, n, seed in (("train", n_train, 0xB4),
+                           ("val", 16, 0xB5), ("test", 16, 0xB6)):
+        (data_dir / split / "clean").mkdir(parents=True, exist_ok=True)
+        (data_dir / split / "noisy").mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            g = np.random.default_rng((seed << 32) ^ i)
+            clean = _rich_clean(g, t, FS)
+            noisy = _rich_noisy(g, clean)
+            save_audio(data_dir / split / "clean" / f"c{i:05d}.wav",
+                       clean.astype(np.float32), FS)
+            save_audio(data_dir / split / "noisy" / f"c{i:05d}.wav",
+                       noisy.astype(np.float32), FS)
+    (data_dir / ".done").touch()
+    log.info("rich dataset (%d train clips) written to %s", n_train, data_dir)
+
+
 class InfiniteSyntheticDataset:
     """Duck-typed NoisyDataset whose train clips are synthesized per
     __getitem__ from the index (no disk, never repeats across the run).
 
-    Clean family (a strict superset of make_dataset's fixed clips): f0 with
-    a random glide + vibrato, 2..6 harmonics with random per-harmonic tilt
-    shaped by a formant-like spectral envelope, syllable-like amplitude
-    gating on top of slow AM.  Noise: white + moving-average pink mix, at
-    0-12 dB SNR.  Same (noisy, clean, key) contract as NoisyDataset
-    (dataset.py:84-100) so the real DataLoader/prefetch path is exercised.
+    Clean family: `_rich_clean`; noise: `_rich_noisy`.  Same
+    (noisy, clean, key) contract as NoisyDataset (dataset.py:84-100) so the
+    real DataLoader/prefetch path is exercised.
     """
 
     def __init__(self, n_items, audio_len=2.0, fs=FS, seed=0xA5):
@@ -125,60 +213,13 @@ class InfiniteSyntheticDataset:
     def __len__(self):
         return self.n_items
 
-    def _clean(self, rng, t):
-        f0 = rng.uniform(100.0, 400.0)
-        glide = rng.uniform(-0.25, 0.25)           # octaves over the clip
-        vib = rng.uniform(0.0, 0.01) * np.sin(
-            2 * np.pi * rng.uniform(4.0, 7.0) * t + rng.uniform(0, 2 * np.pi))
-        inst = f0 * 2.0 ** (glide * t / t[-1] + vib)
-        phase = 2 * np.pi * np.cumsum(inst) / self.fs
-        formant = rng.uniform(300.0, 3000.0)
-        bw = rng.uniform(200.0, 1200.0)
-        tilt = rng.uniform(0.5, 2.0)
-        clean = np.zeros_like(t)
-        for h in range(1, 1 + int(rng.integers(2, 7))):
-            fh = f0 * h
-            if fh > 0.45 * self.fs:
-                break
-            # floor the formant envelope: it SHAPES the spectrum but must
-            # never annihilate every harmonic (r3b post-mortem: with
-            # formant>>6*f0 the bare gaussian made ~13% of clips < 1e-4 RMS
-            # and 5% < 1e-8 — numerically-silent (noisy, clean) pairs whose
-            # noise gain also collapsed, and training diverged on them)
-            amp = h ** -tilt * (
-                0.1 + 0.9 * np.exp(-0.5 * ((fh - formant) / bw) ** 2))
-            am = 0.6 + 0.4 * np.sin(2 * np.pi * rng.uniform(0.5, 4.0) * t
-                                    + rng.uniform(0, 2 * np.pi))
-            clean += 0.12 * amp * am * np.sin(h * phase
-                                              + rng.uniform(0, 2 * np.pi))
-        # syllable-like gating: smooth on/off at 2-5 Hz
-        gate = np.sin(2 * np.pi * rng.uniform(2.0, 5.0) * t
-                      + rng.uniform(0, 2 * np.pi))
-        gate = 1.0 / (1.0 + np.exp(-8.0 * gate))
-        clean *= 0.3 + 0.7 * gate
-        env = np.minimum(1.0, np.minimum(t, t[-1] - t) / 0.05)
-        clean *= env
-        # pin the loudness to the on-disk family's range (log-uniform RMS in
-        # [-46, -24] dBFS) so no draw of (tilt, formant, gate) can produce a
-        # degenerate near-silent clip
-        rms = float(np.sqrt(np.mean(clean ** 2)))
-        target = 10.0 ** rng.uniform(np.log10(0.005), np.log10(0.06))
-        return clean * (target / (rms + 1e-12))
-
     def __getitem__(self, idx, rng=None):
         # independent of the loader's rng: the stream is fully determined by
         # (seed, idx) so a resumed run re-generates identical items
         g = np.random.default_rng((self.seed << 32) ^ idx)
         t = np.arange(self.audio_len) / self.fs
-        clean = self._clean(g, t)
-        white = g.standard_normal(t.shape)
-        pink = np.convolve(white, np.ones(8) / 8.0, mode="same")
-        mix = g.uniform(0.0, 1.0)
-        noise = (1.0 - mix) * white + mix * pink
-        snr_db = g.uniform(0.0, 12.0)
-        gain = (np.linalg.norm(clean)
-                / (np.linalg.norm(noise) * 10 ** (snr_db / 20.0) + 1e-9))
-        noisy = clean + gain * noise
+        clean = _rich_clean(g, t, self.fs)
+        noisy = _rich_noisy(g, clean)
         return (noisy[None, :].astype(np.float32),
                 clean[None, :].astype(np.float32), f"syn{idx:07d}")
 
@@ -234,10 +275,10 @@ def build(max_steps, infinite=False, hybrid=False):
         # shorter horizons so the 25k soak actually exercises the
         # warmup->cosine shape (still evaluated at 2x step like the ref)
         "model.scheduler.generator.scheduler.T_warmup=4000",
-        "model.scheduler.generator.scheduler.T_cosine=50000",
+        f"model.scheduler.generator.scheduler.T_cosine={2 * (SCHED_COSINE or SCHED_STEPS)}",
         f"model.scheduler.generator.scheduler.T_max={2 * SCHED_STEPS}",
         "model.scheduler.discriminator.scheduler.T_warmup=4000",
-        "model.scheduler.discriminator.scheduler.T_cosine=50000",
+        f"model.scheduler.discriminator.scheduler.T_cosine={2 * (SCHED_COSINE or SCHED_STEPS)}",
         f"model.scheduler.discriminator.scheduler.T_max={2 * SCHED_STEPS}",
     ]
     cfg = compose("config", overrides)
@@ -251,7 +292,8 @@ def build(max_steps, infinite=False, hybrid=False):
         fresh = InfiniteSyntheticDataset(
             n_items=max(400_000, 16 * TOTAL_STEPS), audio_len=0.5)
         if hybrid:
-            fresh = HybridSyntheticDataset(dm.datasets["train"], fresh)
+            fresh = HybridSyntheticDataset(dm.datasets["train"], fresh,
+                                           p_fresh=P_FRESH)
         dm.datasets["train"] = fresh
 
     class CurveTrainer(Trainer):
@@ -271,7 +313,8 @@ def build(max_steps, infinite=False, hybrid=False):
 
 
 def main():
-    global RUN, TOTAL_STEPS, PHASE1_STEPS, VAL_EVERY
+    global RUN, DATA, TOTAL_STEPS, SCHED_STEPS, SCHED_COSINE, PHASE1_STEPS, \
+        VAL_EVERY, P_FRESH
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", type=int, required=True, choices=(1, 2))
     ap.add_argument("--smoke", action="store_true",
@@ -282,6 +325,17 @@ def main():
     ap.add_argument("--hybrid", action="store_true",
                     help="50/50 fixed-anchor-set + infinite-stream train "
                          "split (run dir exp/soak_r3d)")
+    ap.add_argument("--r4", action="store_true",
+                    help="round-4 soak (run dir exp/soak_r4): FIXED 2048-"
+                         "clip train set drawn from the RICH family with "
+                         "held-out val/test from the same family "
+                         "(exp/soak_data_r4) — repetition forms quality "
+                         "(r2/r3a), manifold richness resists disc closure "
+                         "(r3a collapsed at the same step as r2 with 8x "
+                         "the clips; r3c/r3d on the rich family never "
+                         "collapsed); 50k steps with a real cosine tail "
+                         "(flat to 30k, decay to 50k) so quality must form "
+                         "AND hold through the end of the schedule")
     ap.add_argument("--resume", action="store_true",
                     help="restore from the run dir's last checkpoint and "
                          "continue the current phase (for runs killed "
@@ -291,6 +345,11 @@ def main():
                          "extend a still-converging run past 25k with "
                          "--phase 2 --resume --steps 35000")
     args = ap.parse_args()
+    if args.r4:
+        DATA = ROOT / "exp" / "soak_data_r4"
+        TOTAL_STEPS = SCHED_STEPS = 50_000
+        SCHED_COSINE = 30_000
+        PHASE1_STEPS = 25_000
     if args.steps:
         # extends max_steps only; build() pins the scheduler horizons from
         # SCHED_STEPS so an extended run continues the SAME LR curve (past
@@ -304,11 +363,16 @@ def main():
         RUN = ROOT / "exp" / "soak_r3c"
     if args.hybrid:
         RUN = ROOT / "exp" / "soak_r3d"
+    if args.r4:
+        RUN = ROOT / "exp" / "soak_r4"
     if args.smoke:
         RUN = ROOT / "exp" / "soak_smoke"
         TOTAL_STEPS, PHASE1_STEPS, VAL_EVERY = 20, 10, 5
 
-    make_dataset()
+    if args.r4:
+        make_dataset_rich(DATA, n_train=N_TRAIN)
+    else:
+        make_dataset()
     RUN.mkdir(parents=True, exist_ok=True)
 
     if args.phase == 1:
