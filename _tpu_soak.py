@@ -256,6 +256,47 @@ class HybridSyntheticDataset:
                                       rng=rng)
 
 
+def build_mdn(max_steps):
+    """Plain-UNIVERSE (MDN losses, single optimizer) soak on the rich data:
+    the GAN soaks cover UniverseGAN's two-optimizer step; this proves the
+    other training family (reference universe.py:544-586, automatic
+    optimization + MDN signal/latent losses) is stable on the real chip."""
+    from open_universe_tpu.configs.registry import instantiate
+    from open_universe_tpu.configs.resolve import compose
+    from open_universe_tpu.parallel.mesh import make_mesh
+    from open_universe_tpu.train.trainer import Trainer
+
+    overrides = [
+        "experiment=universe_original_vb_16k",
+        f"datamodule.datasets.vb-train-16k.audio_path={DATA}",
+        "datamodule.datasets.vb-train-16k.audio_len=0.5",
+        "datamodule.train.dl_opts.batch_size=16",
+        "model.training.compute_dtype=bf16",
+        "model.training.nan_guard=true",
+        "model.validation.num_tb_samples=2",
+        "model.scheduler.scheduler.T_warmup=1000",
+        "model.scheduler.scheduler.T_cosine=5000",
+        f"model.scheduler.scheduler.T_max={max_steps}",
+    ]
+    cfg = compose("config", overrides)
+    dm = instantiate(cfg["datamodule"])
+    model = instantiate(cfg["model"])
+
+    class CurveTrainer(Trainer):
+        def validate(self, step):
+            metrics = super().validate(step)
+            rec = {"step": step, "time": time.time(), **metrics}
+            with open(RUN / "val_curve.jsonl", "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            return metrics
+
+    return CurveTrainer(
+        model, dm, RUN, max_steps=max_steps,
+        val_check_interval=VAL_EVERY, checkpoint_every=VAL_EVERY,
+        log_every=250, max_val_batches=4, seed=0, mesh=make_mesh(dp=1),
+        config=cfg)
+
+
 def build(max_steps, infinite=False, hybrid=False):
     from open_universe_tpu.configs.registry import instantiate
     from open_universe_tpu.configs.resolve import compose
@@ -336,6 +377,11 @@ def main():
                          "collapsed); 50k steps with a real cosine tail "
                          "(flat to 30k, decay to 50k) so quality must form "
                          "AND hold through the end of the schedule")
+    ap.add_argument("--mdn", action="store_true",
+                    help="plain-UNIVERSE (MDN losses) 8k-step soak on the "
+                         "rich r4 data (run dir exp/soak_r4_mdn): proves "
+                         "the single-optimizer training family is stable "
+                         "on the real chip (--phase 1 runs it whole)")
     ap.add_argument("--resume", action="store_true",
                     help="restore from the run dir's last checkpoint and "
                          "continue the current phase (for runs killed "
@@ -350,6 +396,10 @@ def main():
         TOTAL_STEPS = SCHED_STEPS = 50_000
         SCHED_COSINE = 30_000
         PHASE1_STEPS = 25_000
+    if args.mdn:
+        DATA = ROOT / "exp" / "soak_data_r4"
+        TOTAL_STEPS = PHASE1_STEPS = 8_000
+        VAL_EVERY = 2_000
     if args.steps:
         # extends max_steps only; build() pins the scheduler horizons from
         # SCHED_STEPS so an extended run continues the SAME LR curve (past
@@ -365,18 +415,22 @@ def main():
         RUN = ROOT / "exp" / "soak_r3d"
     if args.r4:
         RUN = ROOT / "exp" / "soak_r4"
+    if args.mdn:
+        RUN = ROOT / "exp" / "soak_r4_mdn"
     if args.smoke:
         RUN = ROOT / "exp" / "soak_smoke"
         TOTAL_STEPS, PHASE1_STEPS, VAL_EVERY = 20, 10, 5
 
-    if args.r4:
+    if args.r4 or args.mdn:
         make_dataset_rich(DATA, n_train=N_TRAIN)
     else:
         make_dataset()
     RUN.mkdir(parents=True, exist_ok=True)
 
     if args.phase == 1:
-        trainer = build(PHASE1_STEPS, infinite=args.infinite, hybrid=args.hybrid)
+        trainer = (build_mdn(PHASE1_STEPS) if args.mdn else
+                   build(PHASE1_STEPS, infinite=args.infinite,
+                         hybrid=args.hybrid))
         if args.resume:
             import jax
 
