@@ -291,11 +291,14 @@ def test_frozen_disc_step_matches_full_step():
     s_frozen, m_frozen = frozen(state, batch, key)
 
     # generator updates identical (adversarial grads are exactly zero in the
-    # gated full step); discriminator params untouched in both
+    # gated full step); discriminator params untouched in both.  The two
+    # graphs fuse differently, so allow a few f32 ulps of rounding skew
+    # (observed flake: 1/12288 leaves off by 1.2e-8 abs) — a real
+    # adversarial-grad leak moves params by >=1e-4.
     for k in model.model_param_keys():
         jax.tree_util.tree_map(
             lambda a, b: np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8),
+                np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-7),
             s_full["params"][k], s_frozen["params"][k])
     for k in model.disc_param_keys():
         jax.tree_util.tree_map(
