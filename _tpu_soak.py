@@ -65,11 +65,35 @@ VAL_EVERY = 2_500
 P_FRESH = 0.5
 
 
+def _narrow_clean(rng, t):
+    """One clip from the NARROW clean family (make_dataset's): 2-3 AM'd
+    harmonics with random f0/phase plus a soft onset/offset envelope."""
+    f0 = rng.uniform(120.0, 380.0)
+    clean = np.zeros_like(t)
+    for h in range(1, 1 + rng.integers(2, 4)):
+        am = 0.5 + 0.5 * np.sin(
+            2 * np.pi * rng.uniform(0.5, 4.0) * t
+            + rng.uniform(0, 2 * np.pi))
+        clean += (0.08 / h) * am * np.sin(
+            2 * np.pi * h * f0 * t + rng.uniform(0, 2 * np.pi))
+    env = np.minimum(1.0, np.minimum(t, t[-1] - t) / 0.05)
+    return clean * env
+
+
+def _narrow_noisy(rng, clean):
+    """white + lowpassed noise at 0-12 dB SNR (make_dataset's mix)."""
+    white = rng.standard_normal(clean.shape)
+    pink = np.convolve(white, np.ones(8) / 8.0, mode="same")
+    noise = 0.7 * white + 0.7 * pink
+    snr_db = rng.uniform(0.0, 12.0)
+    gain = (np.linalg.norm(clean) /
+            (np.linalg.norm(noise) * 10 ** (snr_db / 20.0) + 1e-9))
+    return clean + gain * noise
+
+
 def make_dataset():
     """Synthetic denoising task with enough variety that the GAN recipe has
-    real work to do: clean = 2-3 AM'd harmonics with random f0/phase plus a
-    soft onset/offset envelope; noisy = clean + white+lowpassed noise at
-    0-12 dB SNR."""
+    real work to do: clean = `_narrow_clean`, noisy = `_narrow_noisy`."""
     from open_universe_tpu.data.audio import save_audio
 
     if (DATA / ".done").exists():
@@ -80,23 +104,8 @@ def make_dataset():
         (DATA / split / "clean").mkdir(parents=True, exist_ok=True)
         (DATA / split / "noisy").mkdir(parents=True, exist_ok=True)
         for i in range(n):
-            f0 = rng.uniform(120.0, 380.0)
-            clean = np.zeros_like(t)
-            for h in range(1, 1 + rng.integers(2, 4)):
-                am = 0.5 + 0.5 * np.sin(
-                    2 * np.pi * rng.uniform(0.5, 4.0) * t
-                    + rng.uniform(0, 2 * np.pi))
-                clean += (0.08 / h) * am * np.sin(
-                    2 * np.pi * h * f0 * t + rng.uniform(0, 2 * np.pi))
-            env = np.minimum(1.0, np.minimum(t, t[-1] - t) / 0.05)
-            clean *= env
-            white = rng.standard_normal(t.shape)
-            pink = np.convolve(white, np.ones(8) / 8.0, mode="same")
-            noise = 0.7 * white + 0.7 * pink
-            snr_db = rng.uniform(0.0, 12.0)
-            gain = (np.linalg.norm(clean) /
-                    (np.linalg.norm(noise) * 10 ** (snr_db / 20.0) + 1e-9))
-            noisy = clean + gain * noise
+            clean = _narrow_clean(rng, t)
+            noisy = _narrow_noisy(rng, clean)
             save_audio(DATA / split / "clean" / f"c{i:03d}.wav",
                        clean.astype(np.float32), FS)
             save_audio(DATA / split / "noisy" / f"c{i:03d}.wav",
@@ -197,18 +206,20 @@ class InfiniteSyntheticDataset:
     """Duck-typed NoisyDataset whose train clips are synthesized per
     __getitem__ from the index (no disk, never repeats across the run).
 
-    Clean family: `_rich_clean`; noise: `_rich_noisy`.  Same
-    (noisy, clean, key) contract as NoisyDataset (dataset.py:84-100) so the
-    real DataLoader/prefetch path is exercised.
+    Clean family: `_rich_clean` (or `_narrow_clean` with family="narrow").
+    Same (noisy, clean, key) contract as NoisyDataset (dataset.py:84-100) so
+    the real DataLoader/prefetch path is exercised.
     """
 
-    def __init__(self, n_items, audio_len=2.0, fs=FS, seed=0xA5):
+    def __init__(self, n_items, audio_len=2.0, fs=FS, seed=0xA5,
+                 family="rich"):
         self.fs = fs
         self.split = "train"
         self.audio_len = int(audio_len * fs)
         self.clean_available = True
         self.n_items = n_items
         self.seed = seed
+        self.family = family
 
     def __len__(self):
         return self.n_items
@@ -218,8 +229,12 @@ class InfiniteSyntheticDataset:
         # (seed, idx) so a resumed run re-generates identical items
         g = np.random.default_rng((self.seed << 32) ^ idx)
         t = np.arange(self.audio_len) / self.fs
-        clean = _rich_clean(g, t, self.fs)
-        noisy = _rich_noisy(g, clean)
+        if self.family == "narrow":
+            clean = _narrow_clean(g, t)
+            noisy = _narrow_noisy(g, clean)
+        else:
+            clean = _rich_clean(g, t, self.fs)
+            noisy = _rich_noisy(g, clean)
         return (noisy[None, :].astype(np.float32),
                 clean[None, :].astype(np.float32), f"syn{idx:07d}")
 
@@ -297,7 +312,7 @@ def build_mdn(max_steps):
         config=cfg)
 
 
-def build(max_steps, infinite=False, hybrid=False):
+def build(max_steps, infinite=False, hybrid=False, family="rich"):
     from open_universe_tpu.configs.registry import instantiate
     from open_universe_tpu.configs.resolve import compose
     from open_universe_tpu.parallel.mesh import make_mesh
@@ -331,7 +346,8 @@ def build(max_steps, infinite=False, hybrid=False):
         # sized so the run never sees the same item twice
         dm.setup()
         fresh = InfiniteSyntheticDataset(
-            n_items=max(400_000, 16 * TOTAL_STEPS), audio_len=0.5)
+            n_items=max(400_000, 16 * TOTAL_STEPS), audio_len=0.5,
+            family=family)
         if hybrid:
             fresh = HybridSyntheticDataset(dm.datasets["train"], fresh,
                                            p_fresh=P_FRESH)
@@ -377,6 +393,18 @@ def main():
                          "collapsed); 50k steps with a real cosine tail "
                          "(flat to 30k, decay to 50k) so quality must form "
                          "AND hold through the end of the schedule")
+    ap.add_argument("--r4b", action="store_true",
+                    help="round-4b soak (run dir exp/soak_r4b): infinite "
+                         "NARROW stream — the untried corner of the regime "
+                         "map.  r4 (fixed rich) showed the generator cannot "
+                         "fit a rich manifold in budget while the discs "
+                         "close the fixed set; narrow+infinite gives the "
+                         "generator a family it fits as a function class "
+                         "(r2 formed on 256 clips of it) while fresh draws "
+                         "deny the discs a closed set (the r2/r3a collapse "
+                         "lever).  val/test stay the on-disk narrow sets — "
+                         "curves directly comparable to r2/r3a/r3c/r3d.  "
+                         "50k steps, LR flat to 30k, cosine to 50k")
     ap.add_argument("--mdn", action="store_true",
                     help="plain-UNIVERSE (MDN losses) 8k-step soak on the "
                          "rich r4 data (run dir exp/soak_r4_mdn): proves "
@@ -393,6 +421,11 @@ def main():
     args = ap.parse_args()
     if args.r4:
         DATA = ROOT / "exp" / "soak_data_r4"
+        TOTAL_STEPS = SCHED_STEPS = 50_000
+        SCHED_COSINE = 30_000
+        PHASE1_STEPS = 25_000
+    if args.r4b:
+        args.infinite = True
         TOTAL_STEPS = SCHED_STEPS = 50_000
         SCHED_COSINE = 30_000
         PHASE1_STEPS = 25_000
@@ -415,6 +448,8 @@ def main():
         RUN = ROOT / "exp" / "soak_r3d"
     if args.r4:
         RUN = ROOT / "exp" / "soak_r4"
+    if args.r4b:
+        RUN = ROOT / "exp" / "soak_r4b"
     if args.mdn:
         RUN = ROOT / "exp" / "soak_r4_mdn"
     if args.smoke:
@@ -430,7 +465,8 @@ def main():
     if args.phase == 1:
         trainer = (build_mdn(PHASE1_STEPS) if args.mdn else
                    build(PHASE1_STEPS, infinite=args.infinite,
-                         hybrid=args.hybrid))
+                         hybrid=args.hybrid,
+                         family="narrow" if args.r4b else "rich"))
         if args.resume:
             import jax
 
@@ -442,7 +478,9 @@ def main():
         log.info("phase 1 done: %d steps in %.0fs", PHASE1_STEPS,
                  time.time() - t0)
     else:
-        trainer = build(TOTAL_STEPS, infinite=args.infinite, hybrid=args.hybrid)
+        trainer = build(TOTAL_STEPS, infinite=args.infinite,
+                        hybrid=args.hybrid,
+                        family="narrow" if args.r4b else "rich")
         import jax
 
         trainer.restore(str(RUN / "checkpoints"))
