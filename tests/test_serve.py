@@ -1,0 +1,117 @@
+"""HTTP serving endpoint: micro-batched enhancement over a live server.
+
+No reference analog (the reference's inference surface is the per-clip
+bin/enhance.py CLI); this covers the serving front end's batching,
+container handling, error paths, and stats counters.
+"""
+import io
+import json
+import threading
+import urllib.request
+import wave
+
+import numpy as np
+import pytest
+
+import jax
+
+from open_universe_tpu.configs.registry import instantiate
+from open_universe_tpu.data.audio import save_audio
+
+from test_checkpoint_conversion import TINY_GAN_CFG
+
+FS = 16000
+
+
+@pytest.fixture(scope="module")
+def server():
+    model = instantiate(TINY_GAN_CFG)
+    params = model.init(jax.random.key(0))
+    from open_universe_tpu.bin.serve import make_server
+
+    srv, service = make_server(
+        model, params, model_name="tiny", port=0,
+        max_batch=4, batch_window_ms=150.0, bucket_seconds=0.25,
+        max_clip_seconds=1.0, enhance_kwargs={"n_steps": 2})
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", service
+    srv.shutdown()
+    service.close()
+
+
+def _wav_bytes(x, fs=FS):
+    import tempfile
+    from pathlib import Path
+
+    with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+        save_audio(f.name, x.astype(np.float32), fs)
+        return Path(f.name).read_bytes()
+
+
+def _post(url, body, timeout=120):
+    req = urllib.request.Request(url + "/enhance", data=body,
+                                 headers={"Content-Type": "audio/wav"})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status, r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def test_healthz(server):
+    url, _ = server
+    with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+        meta = json.loads(r.read())
+    assert meta["status"] == "ok" and meta["fs"] == FS
+
+
+def test_enhance_roundtrip_and_batching(server, rng):
+    url, service = server
+    t = int(0.2 * FS)
+    clips = [(0.1 * np.sin(2 * np.pi * f * np.arange(t) / FS)
+              + 0.02 * rng.standard_normal(t)).astype(np.float32)
+             for f in (220.0, 330.0, 440.0)]
+
+    results = {}
+
+    def post_one(i):
+        results[i] = _post(url, _wav_bytes(clips[i]))
+
+    # concurrent requests inside one batch window
+    threads = [threading.Thread(target=post_one, args=(i,))
+               for i in range(len(clips))]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+
+    for i in range(len(clips)):
+        status, body = results[i]
+        assert status == 200, body
+        with wave.open(io.BytesIO(body)) as w:
+            assert w.getframerate() == FS
+            assert w.getnframes() == t
+            out = np.frombuffer(w.readframes(t), np.int16)
+        assert np.isfinite(out.astype(np.float32)).all()
+        assert np.any(out != 0)
+
+    with urllib.request.urlopen(url + "/stats", timeout=30) as r:
+        stats = json.loads(r.read())
+    assert stats["clips"] >= 3 and stats["requests"] >= 3
+    # the three concurrent same-length clips must have shared batches
+    assert stats["batches"] < stats["clips"]
+    assert stats["errors"] == 0
+
+
+def test_enhance_rejects_garbage_and_long_clips(server, rng):
+    url, _ = server
+    status, body = _post(url, b"RIFFnot-actually-a-wav-file")
+    assert status == 400, body
+
+    too_long = rng.standard_normal(int(1.5 * FS)).astype(np.float32)
+    status, body = _post(url, _wav_bytes(0.05 * too_long))
+    assert status == 413, body
+
+    with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+        assert json.loads(r.read())["status"] == "ok"  # server still alive
