@@ -312,7 +312,8 @@ def build_mdn(max_steps):
         config=cfg)
 
 
-def build(max_steps, infinite=False, hybrid=False, family="rich"):
+def build(max_steps, infinite=False, hybrid=False, family="rich",
+          extra_overrides=()):
     from open_universe_tpu.configs.registry import instantiate
     from open_universe_tpu.configs.resolve import compose
     from open_universe_tpu.parallel.mesh import make_mesh
@@ -336,6 +337,7 @@ def build(max_steps, infinite=False, hybrid=False, family="rich"):
         "model.scheduler.discriminator.scheduler.T_warmup=4000",
         f"model.scheduler.discriminator.scheduler.T_cosine={2 * (SCHED_COSINE or SCHED_STEPS)}",
         f"model.scheduler.discriminator.scheduler.T_max={2 * SCHED_STEPS}",
+        *extra_overrides,
     ]
     cfg = compose("config", overrides)
     dm = instantiate(cfg["datamodule"])
@@ -405,6 +407,21 @@ def main():
                          "lever).  val/test stay the on-disk narrow sets — "
                          "curves directly comparable to r2/r3a/r3c/r3d.  "
                          "50k steps, LR flat to 30k, cosine to 50k")
+    ap.add_argument("--r4c", action="store_true",
+                    help="round-4c soak (run dir exp/soak_r4c): infinite "
+                         "narrow stream with disc_freeze_step=25000 — the "
+                         "reference's own knob for exactly this.  r4b "
+                         "showed infinite data denies the GENERATOR its "
+                         "memorization shortcut too (no formation by "
+                         "12.5k), so phase 1 (25k, discs frozen) forms "
+                         "quality by pure score+mel regression (which "
+                         "works on infinite data: r3d hit SI-SDR 19.1), "
+                         "and phase 2 (25k, discs on) refines it "
+                         "adversarially on data the discs cannot close.  "
+                         "The freeze boundary coincides with the "
+                         "phase-1/2 process restart, so the frozen->full "
+                         "compiled-step switch and resume are re-proven "
+                         "together")
     ap.add_argument("--mdn", action="store_true",
                     help="plain-UNIVERSE (MDN losses) 8k-step soak on the "
                          "rich r4 data (run dir exp/soak_r4_mdn): proves "
@@ -424,7 +441,7 @@ def main():
         TOTAL_STEPS = SCHED_STEPS = 50_000
         SCHED_COSINE = 30_000
         PHASE1_STEPS = 25_000
-    if args.r4b:
+    if args.r4b or args.r4c:
         args.infinite = True
         TOTAL_STEPS = SCHED_STEPS = 50_000
         SCHED_COSINE = 30_000
@@ -450,6 +467,8 @@ def main():
         RUN = ROOT / "exp" / "soak_r4"
     if args.r4b:
         RUN = ROOT / "exp" / "soak_r4b"
+    if args.r4c:
+        RUN = ROOT / "exp" / "soak_r4c"
     if args.mdn:
         RUN = ROOT / "exp" / "soak_r4_mdn"
     if args.smoke:
@@ -466,7 +485,11 @@ def main():
         trainer = (build_mdn(PHASE1_STEPS) if args.mdn else
                    build(PHASE1_STEPS, infinite=args.infinite,
                          hybrid=args.hybrid,
-                         family="narrow" if args.r4b else "rich"))
+                         family="narrow" if (args.r4b or args.r4c)
+                         else "rich",
+                         extra_overrides=(
+                             ["model.losses.disc_freeze_step=25000"]
+                             if args.r4c else [])))
         if args.resume:
             import jax
 
@@ -480,7 +503,11 @@ def main():
     else:
         trainer = build(TOTAL_STEPS, infinite=args.infinite,
                         hybrid=args.hybrid,
-                        family="narrow" if args.r4b else "rich")
+                        family="narrow" if (args.r4b or args.r4c)
+                        else "rich",
+                        extra_overrides=(
+                            ["model.losses.disc_freeze_step=25000"]
+                            if args.r4c else []))
         import jax
 
         trainer.restore(str(RUN / "checkpoints"))
