@@ -415,7 +415,7 @@ def main():
                          "memorization shortcut too (no formation by "
                          "12.5k), so phase 1 (25k, discs frozen) forms "
                          "quality by pure score+mel regression (which "
-                         "works on infinite data: r3d hit SI-SDR 19.1), "
+                         "works on infinite data, cf. r3d), "
                          "and phase 2 (25k, discs on) refines it "
                          "adversarially on data the discs cannot close.  "
                          "The freeze boundary coincides with the "
@@ -520,23 +520,27 @@ def main():
         log.info("phase 2 done: %d->%d steps in %.0fs", resumed,
                  TOTAL_STEPS, time.time() - t0)
 
-    # final quality probe on the test split
+    # final quality probe on the FULL test split (r4 fix: this used to
+    # read one batch — the test loader runs batch 1, so the old "test
+    # SI-SDR" lines in earlier soak notes are single-clip numbers)
     import jax
     import jax.numpy as jnp
 
     from open_universe_tpu.metrics.bss import si_sdr
 
     params = trainer._eval_params()
-    batch = next(iter(trainer.dm.test_dataloader()))
-    mix = jnp.asarray(batch["noisy"])
-    clean = np.asarray(batch["clean"])[:, :, 0]
-    est = np.asarray(trainer._bucketed_enhance(
-        params, mix, jax.random.key(9)))[:, :, 0]
-    scores = [si_sdr(clean[i], est[i]) for i in range(est.shape[0])]
-    noisy_scores = [si_sdr(clean[i], np.asarray(mix)[i, :, 0])
-                    for i in range(mix.shape[0])]
-    log.info("test SI-SDR: noisy %.2f -> enhanced %.2f",
-             float(np.mean(noisy_scores)), float(np.mean(scores)))
+    scores, noisy_scores = [], []
+    for batch in trainer.dm.test_dataloader():
+        mix = jnp.asarray(batch["noisy"])
+        clean = np.asarray(batch["clean"])[:, :, 0]
+        est = np.asarray(trainer._bucketed_enhance(
+            params, mix, jax.random.key(9)))[:, :, 0]
+        scores += [si_sdr(clean[i], est[i]) for i in range(est.shape[0])]
+        noisy_scores += [si_sdr(clean[i], np.asarray(mix)[i, :, 0])
+                         for i in range(mix.shape[0])]
+    log.info("test SI-SDR (%d clips): noisy %.2f -> enhanced %.2f",
+             len(scores), float(np.mean(noisy_scores)),
+             float(np.mean(scores)))
 
 
 if __name__ == "__main__":
