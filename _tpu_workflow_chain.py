@@ -137,6 +137,9 @@ def _cli(mod, argv):
     subprocess.run(cmd, check=True, cwd=ROOT)
 
 
+ENHANCE_ARGS = []
+
+
 def phase_enhance():
     for name, run in (("gan", RUN_GAN), ("lora", RUN_LORA)):
         if not run.exists():
@@ -147,7 +150,7 @@ def phase_enhance():
             shutil.rmtree(out)
         _cli("open_universe_tpu.bin.enhance",
              [DATA / "test" / "noisy", out, "--model", run,
-              "--batch-size", 16])
+              "--batch-size", 16] + ENHANCE_ARGS)
 
 
 def phase_evaluate():
@@ -227,7 +230,11 @@ def main():
     ap.add_argument("--tag", default=None,
                     help="output namespace: exp/chain_<tag>/ (default r2, "
                          "or r3 when --gan-run is given)")
+    ap.add_argument("--enhance-arg", action="append", default=[],
+                    help="extra flag for the enhance legs, repeatable "
+                         "(e.g. --enhance-arg=--ensemble --enhance-arg=4)")
     args = ap.parse_args()
+    ENHANCE_ARGS.extend(args.enhance_arg)
     tag = args.tag or ("r3" if args.gan_run else "r2")
     RUN_LORA = ROOT / "exp" / f"chain_{tag}" / "lora"
     OUT = ROOT / "exp" / f"chain_{tag}" / "enhanced"
