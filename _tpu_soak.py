@@ -452,8 +452,11 @@ def main():
         VAL_EVERY = 2_000
     if args.steps:
         # extends max_steps only; build() pins the scheduler horizons from
-        # SCHED_STEPS so an extended run continues the SAME LR curve (past
-        # T_max the cosine clamps at its floor, like the reference's)
+        # SCHED_STEPS so an extended run continues the SAME LR curve; past
+        # T_max our schedule clamps (optim.py — the reference's torch
+        # recursion oscillates there, outside its asserted contract): runs
+        # with T_cosine < T_max hold eta_min, the T_cosine == T_max soaks
+        # hold base LR
         TOTAL_STEPS = args.steps
 
     if args.infinite:

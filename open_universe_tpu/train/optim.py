@@ -24,7 +24,13 @@ def linear_warmup_cosine_annealing(base_lr: float, t_warmup: int, t_cosine: int,
     """optax schedule matching LinearWarmupCosineAnnealingLR."""
 
     def schedule(step):
-        step = jnp.asarray(step, jnp.float32)
+        # Clamp past T_max: the reference's torch recursion (inherited
+        # CosineAnnealingLR, schedulers.py:79-97) OSCILLATES beyond T_max,
+        # but that region is outside its own asserted contract
+        # (T_warmup < T_cosine < T_max and Lightning stops at max_steps);
+        # holding eta_min is the sane behavior for runs extended past the
+        # schedule horizon.
+        step = jnp.minimum(jnp.asarray(step, jnp.float32), float(t_max))
         warm = eta_min + (base_lr - eta_min) * step / max(t_warmup, 1)
         denom = max(t_max - t_cosine, 1)
         cos = eta_min + (base_lr - eta_min) * 0.5 * (
