@@ -422,6 +422,14 @@ def main():
                          "phase-1/2 process restart, so the frozen->full "
                          "compiled-step switch and resume are re-proven "
                          "together")
+    ap.add_argument("--r4d", action="store_true",
+                    help="round-4d soak (run dir exp/soak_r4d): the r4c "
+                         "freeze-then-adversarial recipe on the RICH "
+                         "family (infinite stream, val/test the held-out "
+                         "rich sets of exp/soak_data_r4) — tests whether "
+                         "the recipe generalizes to the closest VB-DEMAND "
+                         "stand-in; pure regression on infinite rich was "
+                         "never tried (r3c/r4 had discs on from 0)")
     ap.add_argument("--mdn", action="store_true",
                     help="plain-UNIVERSE (MDN losses) 8k-step soak on the "
                          "rich r4 data (run dir exp/soak_r4_mdn): proves "
@@ -441,11 +449,13 @@ def main():
         TOTAL_STEPS = SCHED_STEPS = 50_000
         SCHED_COSINE = 30_000
         PHASE1_STEPS = 25_000
-    if args.r4b or args.r4c:
+    if args.r4b or args.r4c or args.r4d:
         args.infinite = True
         TOTAL_STEPS = SCHED_STEPS = 50_000
         SCHED_COSINE = 30_000
         PHASE1_STEPS = 25_000
+    if args.r4d:
+        DATA = ROOT / "exp" / "soak_data_r4"
     if args.mdn:
         DATA = ROOT / "exp" / "soak_data_r4"
         TOTAL_STEPS = PHASE1_STEPS = 8_000
@@ -472,13 +482,15 @@ def main():
         RUN = ROOT / "exp" / "soak_r4b"
     if args.r4c:
         RUN = ROOT / "exp" / "soak_r4c"
+    if args.r4d:
+        RUN = ROOT / "exp" / "soak_r4d"
     if args.mdn:
         RUN = ROOT / "exp" / "soak_r4_mdn"
     if args.smoke:
         RUN = ROOT / "exp" / "soak_smoke"
         TOTAL_STEPS, PHASE1_STEPS, VAL_EVERY = 20, 10, 5
 
-    if args.r4 or args.mdn:
+    if args.r4 or args.r4d or args.mdn:
         make_dataset_rich(DATA, n_train=N_TRAIN)
     else:
         make_dataset()
@@ -492,7 +504,7 @@ def main():
                          else "rich",
                          extra_overrides=(
                              ["model.losses.disc_freeze_step=25000"]
-                             if args.r4c else [])))
+                             if (args.r4c or args.r4d) else [])))
         if args.resume:
             import jax
 
@@ -510,7 +522,7 @@ def main():
                         else "rich",
                         extra_overrides=(
                             ["model.losses.disc_freeze_step=25000"]
-                            if args.r4c else []))
+                            if (args.r4c or args.r4d) else []))
         import jax
 
         trainer.restore(str(RUN / "checkpoints"))
