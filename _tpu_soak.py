@@ -271,6 +271,21 @@ class HybridSyntheticDataset:
                                       rng=rng)
 
 
+def _curve_trainer_cls():
+    """Trainer that appends each validate() result to RUN/val_curve.jsonl."""
+    from open_universe_tpu.train.trainer import Trainer
+
+    class CurveTrainer(Trainer):
+        def validate(self, step):
+            metrics = super().validate(step)
+            rec = {"step": step, "time": time.time(), **metrics}
+            with open(RUN / "val_curve.jsonl", "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            return metrics
+
+    return CurveTrainer
+
+
 def build_mdn(max_steps):
     """Plain-UNIVERSE (MDN losses, single optimizer) soak on the rich data:
     the GAN soaks cover UniverseGAN's two-optimizer step; this proves the
@@ -279,7 +294,6 @@ def build_mdn(max_steps):
     from open_universe_tpu.configs.registry import instantiate
     from open_universe_tpu.configs.resolve import compose
     from open_universe_tpu.parallel.mesh import make_mesh
-    from open_universe_tpu.train.trainer import Trainer
 
     overrides = [
         "experiment=universe_original_vb_16k",
@@ -296,16 +310,7 @@ def build_mdn(max_steps):
     cfg = compose("config", overrides)
     dm = instantiate(cfg["datamodule"])
     model = instantiate(cfg["model"])
-
-    class CurveTrainer(Trainer):
-        def validate(self, step):
-            metrics = super().validate(step)
-            rec = {"step": step, "time": time.time(), **metrics}
-            with open(RUN / "val_curve.jsonl", "a") as f:
-                f.write(json.dumps(rec) + "\n")
-            return metrics
-
-    return CurveTrainer(
+    return _curve_trainer_cls()(
         model, dm, RUN, max_steps=max_steps,
         val_check_interval=VAL_EVERY, checkpoint_every=VAL_EVERY,
         log_every=250, max_val_batches=4, seed=0, mesh=make_mesh(dp=1),
@@ -317,7 +322,6 @@ def build(max_steps, infinite=False, hybrid=False, family="rich",
     from open_universe_tpu.configs.registry import instantiate
     from open_universe_tpu.configs.resolve import compose
     from open_universe_tpu.parallel.mesh import make_mesh
-    from open_universe_tpu.train.trainer import Trainer
 
     overrides = [
         "experiment=universepp_vb_16k",
@@ -355,15 +359,7 @@ def build(max_steps, infinite=False, hybrid=False, family="rich",
                                            p_fresh=P_FRESH)
         dm.datasets["train"] = fresh
 
-    class CurveTrainer(Trainer):
-        def validate(self, step):
-            metrics = super().validate(step)
-            rec = {"step": step, "time": time.time(), **metrics}
-            with open(RUN / "val_curve.jsonl", "a") as f:
-                f.write(json.dumps(rec) + "\n")
-            return metrics
-
-    trainer = CurveTrainer(
+    trainer = _curve_trainer_cls()(
         model, dm, RUN, max_steps=max_steps,
         val_check_interval=VAL_EVERY, checkpoint_every=VAL_EVERY,
         log_every=250, max_val_batches=4, seed=0, mesh=make_mesh(dp=1),
@@ -421,7 +417,15 @@ def main():
                          "The freeze boundary coincides with the "
                          "phase-1/2 process restart, so the frozen->full "
                          "compiled-step switch and resume are re-proven "
-                         "together")
+                         "together.  LR note: the horizons are set in "
+                         "2x-per-step scheduler units, but during the "
+                         "freeze the GAN scheduler steps only once per "
+                         "step (trainer.py choreography), so the cosine "
+                         "actually starts at train step ~42.5k and the "
+                         "run ends ~37% into the tail (~0.69x base LR), "
+                         "not at eta_min — discovered post-hoc, recorded "
+                         "in notes/soak_r4c; kept as-is so r4d stays "
+                         "comparable to r4c")
     ap.add_argument("--r4d", action="store_true",
                     help="round-4d soak (run dir exp/soak_r4d): the r4c "
                          "freeze-then-adversarial recipe on the RICH "
@@ -516,13 +520,14 @@ def main():
         log.info("phase 1 done: %d steps in %.0fs", PHASE1_STEPS,
                  time.time() - t0)
     else:
-        trainer = build(TOTAL_STEPS, infinite=args.infinite,
-                        hybrid=args.hybrid,
-                        family="narrow" if (args.r4b or args.r4c)
-                        else "rich",
-                        extra_overrides=(
-                            ["model.losses.disc_freeze_step=25000"]
-                            if (args.r4c or args.r4d) else []))
+        trainer = (build_mdn(TOTAL_STEPS) if args.mdn else
+                   build(TOTAL_STEPS, infinite=args.infinite,
+                         hybrid=args.hybrid,
+                         family="narrow" if (args.r4b or args.r4c)
+                         else "rich",
+                         extra_overrides=(
+                             ["model.losses.disc_freeze_step=25000"]
+                             if (args.r4c or args.r4d) else [])))
         import jax
 
         trainer.restore(str(RUN / "checkpoints"))

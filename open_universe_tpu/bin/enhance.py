@@ -25,7 +25,7 @@ from ..data.audio import (
     save_audio,
 )
 from ..inference.model_loader import DEFAULT_MODEL, load_model
-from ..inference.signature_to_parser import add_enhance_arguments
+from ..inference.signature_to_parser import parse_with_enhance_args
 
 DEFAULT_SEED = 1028282  # reference bin/enhance.py:112
 
@@ -92,23 +92,8 @@ def main(argv=None):
                         "seconds with 25%% overlap-add crossfade (one static "
                         "shape -> one compile for any duration; use for long "
                         "recordings)")
-    argv = list(sys.argv[1:] if argv is None else argv)
-    want_help = "-h" in argv or "--help" in argv
-    args, _ = parser.parse_known_args([a for a in argv
-                                       if a not in ("-h", "--help")])
-
-    model, params = load_model(args.model)
-    add_enhance_arguments(model, parser)
-    if want_help:
-        argv.append("--help")
-    args = parser.parse_args(argv)
-
-    enhance_keys = [g for g in parser._action_groups if g.title == "enhance"]
-    enhance_kwargs = {}
-    if enhance_keys:
-        enhance_kwargs = {a.dest: getattr(args, a.dest)
-                          for a in enhance_keys[0]._group_actions
-                          if getattr(args, a.dest) is not None}
+    args, model, params, enhance_kwargs = parse_with_enhance_args(
+        parser, sys.argv[1:] if argv is None else argv, load_model)
 
     files, rel_path, dir_proc = find_files(args.input)
     if not files:

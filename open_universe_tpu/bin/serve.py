@@ -40,7 +40,7 @@ import numpy as np
 
 from ..data.audio import load_audio, resample_audio, save_audio
 from ..inference.model_loader import DEFAULT_MODEL, load_model
-from ..inference.signature_to_parser import add_enhance_arguments
+from ..inference.signature_to_parser import parse_with_enhance_args
 
 DEFAULT_SEED = 1028282  # reference bin/enhance.py:112
 
@@ -56,7 +56,6 @@ def _sniff_suffix(body: bytes) -> str:
 @dataclass
 class _Job:
     audio: np.ndarray          # mono f32 at model fs
-    orig_fs: int
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[np.ndarray] = None
     error: Optional[str] = None
@@ -91,8 +90,8 @@ class EnhanceService:
         self._worker.start()
 
     # -------------------------------------------------------------- client
-    def submit(self, audio: np.ndarray, orig_fs: int) -> _Job:
-        job = _Job(audio=audio, orig_fs=orig_fs)
+    def submit(self, audio: np.ndarray) -> _Job:
+        job = _Job(audio=audio)
         with self._lock:
             self.stats["requests"] += 1
         self._q.put(job)
@@ -102,6 +101,17 @@ class EnhanceService:
         self._stop.set()
         self._q.put(None)  # wake the worker
         self._worker.join(timeout=10)
+        # fail any job the worker never got to (queued behind the sentinel
+        # or dequeued-but-unprocessed) so its request thread doesn't sit out
+        # the full request timeout
+        while True:
+            try:
+                j = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if j is not None:
+                j.error = "server shutting down"
+                j.done.set()
 
     # -------------------------------------------------------------- worker
     def _collect(self):
@@ -203,12 +213,19 @@ def make_handler(service: EnhanceService, model_name: str,
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):
+            # Read (or refuse) the body BEFORE any response: answering with
+            # the body still unread corrupts the HTTP/1.1 keep-alive stream
+            # (the leftover bytes parse as the next request line).
+            cl = self.headers.get("Content-Length")
+            if cl is None:
+                self.close_connection = True  # chunked/absent: can't drain
+                self._json(411, {"error": "Content-Length required"})
+                return
+            body = self.rfile.read(int(cl))
             if self.path != "/enhance":
                 self._json(404, {"error": "not found"})
                 return
             try:
-                length = int(self.headers.get("Content-Length", 0))
-                body = self.rfile.read(length)
                 with tempfile.NamedTemporaryFile(
                         suffix=_sniff_suffix(body)) as f:
                     f.write(body)
@@ -227,7 +244,7 @@ def make_handler(service: EnhanceService, model_name: str,
                 self._json(413, {"error": "clip too long; use the chunked "
                                           "CLI for long recordings"})
                 return
-            job = service.submit(mono.astype(np.float32), fs)
+            job = service.submit(mono.astype(np.float32))
             if not job.done.wait(timeout=request_timeout):
                 self._json(504, {"error": "enhancement timed out"})
                 return
@@ -273,22 +290,8 @@ def main(argv=None):
     parser.add_argument("--warmup-seconds", type=float, default=2.0,
                         help="compile the (1 x warmup bucket) program before "
                              "accepting traffic (0 disables)")
-    argv = list(sys.argv[1:] if argv is None else argv)
-    want_help = "-h" in argv or "--help" in argv
-    args, _ = parser.parse_known_args([a for a in argv
-                                       if a not in ("-h", "--help")])
-
-    model, params = load_model(args.model)
-    add_enhance_arguments(model, parser)
-    if want_help:
-        argv.append("--help")
-    args = parser.parse_args(argv)
-    groups = [g for g in parser._action_groups if g.title == "enhance"]
-    enhance_kwargs = {}
-    if groups:
-        enhance_kwargs = {a.dest: getattr(args, a.dest)
-                          for a in groups[0]._group_actions
-                          if getattr(args, a.dest) is not None}
+    args, model, params, enhance_kwargs = parse_with_enhance_args(
+        parser, sys.argv[1:] if argv is None else argv, load_model)
 
     server, service = make_server(
         model, params, model_name=args.model, host=args.host, port=args.port,

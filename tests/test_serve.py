@@ -29,9 +29,13 @@ def server():
     params = model.init(jax.random.key(0))
     from open_universe_tpu.bin.serve import make_server
 
+    # generous batching window: on this 1-core host the three concurrent
+    # client threads + handlers + worker contend for one CPU, and the
+    # window must outlast their staggered arrival for the shared-batch
+    # assertion below to be deterministic
     srv, service = make_server(
         model, params, model_name="tiny", port=0,
-        max_batch=4, batch_window_ms=150.0, bucket_seconds=0.25,
+        max_batch=4, batch_window_ms=2000.0, bucket_seconds=0.25,
         max_clip_seconds=1.0, enhance_kwargs={"n_steps": 2})
     th = threading.Thread(target=srv.serve_forever, daemon=True)
     th.start()
