@@ -57,9 +57,13 @@ RUN = ROOT / "exp" / "soak_r3"
 FS = 16000
 N_TRAIN = 2048
 TOTAL_STEPS = 25_000
-SCHED_STEPS = 25_000  # scheduler horizon: fixed even when --steps extends the run
-SCHED_COSINE = None   # train step where cosine decay starts (default: == horizon,
-                      # i.e. flat base LR for the whole run, like r3c/r3d)
+SCHED_STEPS = 25_000  # scheduler horizon IN TRAIN STEPS: fixed even when
+                      # --steps extends the run (build() converts to
+                      # scheduler units via gan_scheduler_units)
+SCHED_COSINE = None   # TRAIN step where cosine decay starts (default: ==
+                      # horizon, i.e. flat base LR for the whole run)
+WARMUP_STEP = 2_000   # TRAIN step where warmup ends
+FREEZE_STEP = 0       # disc_freeze_step (0 = discriminators on from step 0)
 PHASE1_STEPS = 12_500
 VAL_EVERY = 2_500
 P_FRESH = 0.5
@@ -322,7 +326,21 @@ def build(max_steps, infinite=False, hybrid=False, family="rich",
     from open_universe_tpu.configs.registry import instantiate
     from open_universe_tpu.configs.resolve import compose
     from open_universe_tpu.parallel.mesh import make_mesh
+    from open_universe_tpu.train.optim import gan_scheduler_units as units
 
+    # Horizons are specified in TRAIN steps (module globals) and converted
+    # to scheduler units here, honoring the 1x-per-step stepping during a
+    # disc freeze (r4c post-mortem: hand-converted 2x horizons started the
+    # cosine 12.5k train steps late; the derivation is now the driver's job,
+    # VERDICT r4 Weak #6).  Legacy no-freeze soaks are unchanged: with
+    # FREEZE_STEP=0 units(s) == 2*s, exactly the old literals.
+    t_warmup = units(WARMUP_STEP, FREEZE_STEP)
+    t_cosine = units(SCHED_COSINE or SCHED_STEPS, FREEZE_STEP)
+    t_max = units(SCHED_STEPS, FREEZE_STEP)
+    log.info("schedule horizons (train steps -> sched units, F=%d): "
+             "warmup %d->%d, cosine %d->%d, max %d->%d", FREEZE_STEP,
+             WARMUP_STEP, t_warmup, SCHED_COSINE or SCHED_STEPS, t_cosine,
+             SCHED_STEPS, t_max)
     overrides = [
         "experiment=universepp_vb_16k",
         f"datamodule.datasets.vb-train-16k.audio_path={DATA}",
@@ -333,14 +351,14 @@ def build(max_steps, infinite=False, hybrid=False, family="rich",
         "model.training.dynamic_mixing=true",
         # num_tb_samples is not declared in model/default.yaml (same as ref)
         "+model.validation.num_tb_samples=2",
-        # shorter horizons so the 25k soak actually exercises the
-        # warmup->cosine shape (still evaluated at 2x step like the ref)
-        "model.scheduler.generator.scheduler.T_warmup=4000",
-        f"model.scheduler.generator.scheduler.T_cosine={2 * (SCHED_COSINE or SCHED_STEPS)}",
-        f"model.scheduler.generator.scheduler.T_max={2 * SCHED_STEPS}",
-        "model.scheduler.discriminator.scheduler.T_warmup=4000",
-        f"model.scheduler.discriminator.scheduler.T_cosine={2 * (SCHED_COSINE or SCHED_STEPS)}",
-        f"model.scheduler.discriminator.scheduler.T_max={2 * SCHED_STEPS}",
+        f"model.scheduler.generator.scheduler.T_warmup={t_warmup}",
+        f"model.scheduler.generator.scheduler.T_cosine={t_cosine}",
+        f"model.scheduler.generator.scheduler.T_max={t_max}",
+        f"model.scheduler.discriminator.scheduler.T_warmup={t_warmup}",
+        f"model.scheduler.discriminator.scheduler.T_cosine={t_cosine}",
+        f"model.scheduler.discriminator.scheduler.T_max={t_max}",
+        *([f"model.losses.disc_freeze_step={FREEZE_STEP}"]
+          if FREEZE_STEP else []),
         *extra_overrides,
     ]
     cfg = compose("config", overrides)
@@ -368,8 +386,8 @@ def build(max_steps, infinite=False, hybrid=False, family="rich",
 
 
 def main():
-    global RUN, DATA, TOTAL_STEPS, SCHED_STEPS, SCHED_COSINE, PHASE1_STEPS, \
-        VAL_EVERY, P_FRESH
+    global RUN, DATA, TOTAL_STEPS, SCHED_STEPS, SCHED_COSINE, WARMUP_STEP, \
+        FREEZE_STEP, PHASE1_STEPS, VAL_EVERY, P_FRESH
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", type=int, required=True, choices=(1, 2))
     ap.add_argument("--smoke", action="store_true",
@@ -434,6 +452,21 @@ def main():
                          "the recipe generalizes to the closest VB-DEMAND "
                          "stand-in; pure regression on infinite rich was "
                          "never tried (r3c/r4 had discs on from 0)")
+    ap.add_argument("--r5", action="store_true",
+                    help="round-5 soak (run dir exp/soak_r5): the winning "
+                         "r4c freeze-then-adversarial recipe on the RICH "
+                         "family at a real budget — r4d proved the "
+                         "trajectory (ends at its max, pesq/lsd beat "
+                         "noisy) but waveform fidelity was still "
+                         "improving monotonically when the 50k+12.5k "
+                         "budget ran out (si-sdr -7.0 -> -4.8 over the "
+                         "last 12.5k).  150k steps, disc_freeze_step "
+                         "25k, LR flat to 95k then cosine to 150k — "
+                         "horizons DERIVED in train steps via "
+                         "gan_scheduler_units (the r4c/r4d hand-"
+                         "conversion bug cannot recur).  Goal: enhanced "
+                         "beats noisy on si-sdr, pesq, stoi-ext AND lsd "
+                         "on the full 16-clip rich test set")
     ap.add_argument("--mdn", action="store_true",
                     help="plain-UNIVERSE (MDN losses) 8k-step soak on the "
                          "rich r4 data (run dir exp/soak_r4_mdn): proves "
@@ -458,8 +491,22 @@ def main():
         TOTAL_STEPS = SCHED_STEPS = 50_000
         SCHED_COSINE = 30_000
         PHASE1_STEPS = 25_000
+        # NOTE: a re-run of r4c/r4d now gets the INTENDED cosine start
+        # (train step 30k) via the derivation in build(), not the recorded
+        # runs' late start (~42.5k) — see notes/soak_r4c.
+        if args.r4c or args.r4d:
+            FREEZE_STEP = 25_000
+            WARMUP_STEP = 4_000
     if args.r4d:
         DATA = ROOT / "exp" / "soak_data_r4"
+    if args.r5:
+        args.infinite = True
+        DATA = ROOT / "exp" / "soak_data_r4"
+        TOTAL_STEPS = SCHED_STEPS = 150_000
+        SCHED_COSINE = 95_000
+        FREEZE_STEP = 25_000
+        PHASE1_STEPS = 25_000
+        WARMUP_STEP = 4_000
     if args.mdn:
         DATA = ROOT / "exp" / "soak_data_r4"
         TOTAL_STEPS = PHASE1_STEPS = 8_000
@@ -488,13 +535,15 @@ def main():
         RUN = ROOT / "exp" / "soak_r4c"
     if args.r4d:
         RUN = ROOT / "exp" / "soak_r4d"
+    if args.r5:
+        RUN = ROOT / "exp" / "soak_r5"
     if args.mdn:
         RUN = ROOT / "exp" / "soak_r4_mdn"
     if args.smoke:
         RUN = ROOT / "exp" / "soak_smoke"
         TOTAL_STEPS, PHASE1_STEPS, VAL_EVERY = 20, 10, 5
 
-    if args.r4 or args.r4d or args.mdn:
+    if args.r4 or args.r4d or args.r5 or args.mdn:
         make_dataset_rich(DATA, n_train=N_TRAIN)
     else:
         make_dataset()
@@ -505,10 +554,7 @@ def main():
                    build(PHASE1_STEPS, infinite=args.infinite,
                          hybrid=args.hybrid,
                          family="narrow" if (args.r4b or args.r4c)
-                         else "rich",
-                         extra_overrides=(
-                             ["model.losses.disc_freeze_step=25000"]
-                             if (args.r4c or args.r4d) else [])))
+                         else "rich"))
         if args.resume:
             import jax
 
@@ -524,10 +570,7 @@ def main():
                    build(TOTAL_STEPS, infinite=args.infinite,
                          hybrid=args.hybrid,
                          family="narrow" if (args.r4b or args.r4c)
-                         else "rich",
-                         extra_overrides=(
-                             ["model.losses.disc_freeze_step=25000"]
-                             if (args.r4c or args.r4d) else [])))
+                         else "rich"))
         import jax
 
         trainer.restore(str(RUN / "checkpoints"))

@@ -75,12 +75,18 @@ class PLCMOSEstimator:
         if session is None:
             try:
                 import onnxruntime as ort
-            except ImportError as e:  # pragma: no cover
-                raise RuntimeError("onnxruntime is required for PLCMOS") from e
-            sess_opt = ort.SessionOptions()
-            if num_threads is not None:
-                sess_opt.intra_op_num_threads = num_threads
-            session = ort.InferenceSession(str(_find_model()), sess_opt)
+
+                sess_opt = ort.SessionOptions()
+                if num_threads is not None:
+                    sess_opt.intra_op_num_threads = num_threads
+                session = ort.InferenceSession(str(_find_model()), sess_opt)
+            except ImportError:
+                # no onnxruntime in this image: run the official weights
+                # with the in-house executor (golden-pinned in
+                # tests/test_onnx_exec.py)
+                from .onnx_exec import OnnxSession
+
+                session = OnnxSession(str(_find_model()))
         self.session = session
         self.embed_rounds = embed_rounds
 

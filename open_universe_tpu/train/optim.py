@@ -42,6 +42,28 @@ def linear_warmup_cosine_annealing(base_lr: float, t_warmup: int, t_cosine: int,
     return schedule
 
 
+def gan_scheduler_units(step: int, freeze_step: int = 0) -> int:
+    """Scheduler units consumed by the GAN trainer at train step `step`.
+
+    The reference steps BOTH LR schedulers once per optimization step
+    (universe_gan.py:301-302), so with the discriminator active each train
+    step advances the shared schedule by 2 units; during the disc-freeze
+    phase (universe_gan.py:221) only the post-generator step happens (1
+    unit).  Trainer._build_schedule evaluates the generator LR at
+    ``sched(min(i, F) + 2*max(i - F, 0) [+1])`` — this helper is the inverse
+    planning map: given a target TRAIN step, it returns the scheduler-unit
+    horizon (T_warmup / T_cosine / T_max) that makes the schedule event land
+    there.  Use it to derive horizons instead of hand-multiplying by 2
+    (the r4c/r4d soaks hand-converted and started their cosine 12.5k train
+    steps late — notes/soak_r4c).
+    """
+    if freeze_step <= 0:
+        return 2 * step
+    if step <= freeze_step:
+        return step
+    return freeze_step + 2 * (step - freeze_step)
+
+
 def wd_mask_from_exclude(params, exclude: Sequence[str]):
     """True where weight decay applies; excludes paths containing any keyword.
 

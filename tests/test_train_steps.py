@@ -308,3 +308,53 @@ def test_frozen_disc_step_matches_full_step():
     np.testing.assert_allclose(float(m_full["train/loss_gen"]),
                                float(m_frozen["train/loss_gen"]), rtol=1e-6)
     assert "train/loss_disc" not in m_frozen  # no disc compute at all
+
+
+def test_gan_scheduler_units_horizon_derivation():
+    """gan_scheduler_units must invert the trainer's LR choreography: a
+    horizon derived for a TRAIN-step target makes the schedule event land
+    at that train step even across a disc-freeze phase (the r4c/r4d soaks
+    hand-converted with a flat 2x and started their cosine 12.5k train
+    steps late — notes/soak_r4c, VERDICT r4 Weak #6)."""
+    from open_universe_tpu.train.optim import gan_scheduler_units as units
+    from open_universe_tpu.train.trainer import _build_schedule
+
+    # the raw mapping
+    assert units(0, 0) == 0 and units(7, 0) == 14          # no freeze: 2x
+    assert units(10, 25) == 10 and units(25, 25) == 25     # frozen: 1x
+    assert units(30, 25) == 35 and units(50, 25) == 75     # past: 1x then 2x
+
+    # composition with the trainer's generator schedule: derive horizons
+    # for warmup@2k / cosine@9k / max@15k with a 5k freeze, then check the
+    # LR curve realizes exactly that shape in TRAIN steps.
+    F, w_s, c_s, m_s = 5_000, 2_000, 9_000, 15_000
+    base, eta = 1e-3, 1e-6
+    cfg = {"scheduler": {"T_warmup": units(w_s, F), "T_cosine": units(c_s, F),
+                         "T_max": units(m_s, F), "eta_min": eta}}
+    gen = _build_schedule(cfg, base, m_s, gan_role="generator", freeze_step=F)
+    lr = lambda i: float(gen(jnp.asarray(i)))
+    assert lr(w_s // 2) == pytest.approx(base / 2, rel=0.01)  # mid-warmup
+    assert lr(w_s + 10) == pytest.approx(base, rel=1e-6)      # warmup done
+    assert lr(c_s - 5) == pytest.approx(base, rel=1e-6)       # still flat
+    assert lr(c_s + 100) < base - 1e-7                        # cosine began
+    assert lr(c_s + 1000) < 0.99 * base                       # and is moving
+    assert lr((c_s + m_s) // 2) == pytest.approx(
+        (base + eta) / 2, rel=0.02)                           # half-decayed
+    assert lr(m_s) == pytest.approx(eta, abs=1e-8)            # floor at end
+    assert lr(m_s + 500) == pytest.approx(eta, abs=1e-8)      # clamped past
+
+    # the discriminator schedule (update count d maps to train step F + d)
+    disc = _build_schedule(cfg, base, m_s, gan_role="discriminator",
+                           freeze_step=F)
+    dlr = lambda i: float(disc(jnp.asarray(i - F)))
+    assert dlr(c_s - 5) == pytest.approx(base, rel=1e-6)
+    assert dlr(m_s) == pytest.approx(eta, abs=1e-8)
+
+    # the buggy hand-conversion (flat 2x despite the freeze) starts the
+    # cosine measurably late — this is the regression the helper prevents
+    bad = {"scheduler": {"T_warmup": 2 * w_s, "T_cosine": 2 * c_s,
+                         "T_max": 2 * m_s, "eta_min": eta}}
+    gen_bad = _build_schedule(bad, base, m_s, gan_role="generator",
+                              freeze_step=F)
+    assert float(gen_bad(jnp.asarray(c_s + 100))) == pytest.approx(
+        base, rel=1e-6)  # still flat where the cosine was MEANT to start
