@@ -511,6 +511,11 @@ def main():
         DATA = ROOT / "exp" / "soak_data_r4"
         TOTAL_STEPS = PHASE1_STEPS = 8_000
         VAL_EVERY = 2_000
+    if args.r5 and args.phase == 2:
+        # 125k-step adversarial phase: validation (enhance 4 clips +
+        # EvalMetrics incl. the now-ungated DNSMOS) costs ~60-90 s/point;
+        # 5k cadence keeps 30+ curve points while saving ~40 min of wall
+        VAL_EVERY = 5_000
     if args.steps:
         # extends max_steps only; build() pins the scheduler horizons from
         # SCHED_STEPS so an extended run continues the SAME LR curve; past

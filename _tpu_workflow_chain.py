@@ -114,6 +114,7 @@ def phase_lora():
         "datamodule.datasets.vb-train-16k.audio_len=0.5",
         "datamodule.train.dl_opts.batch_size=4",
         "+model.training.compute_dtype=bf16",
+        *LORA_OVERRIDES,
     ]
     cfg = compose("config", overrides)
     dm = instantiate(cfg["datamodule"])
@@ -138,6 +139,7 @@ def _cli(mod, argv):
 
 
 ENHANCE_ARGS = []
+LORA_OVERRIDES = []
 
 
 def phase_enhance():
@@ -233,8 +235,17 @@ def main():
     ap.add_argument("--enhance-arg", action="append", default=[],
                     help="extra flag for the enhance legs, repeatable "
                          "(e.g. --enhance-arg=--ensemble --enhance-arg=4)")
+    ap.add_argument("--lora-steps", type=int, default=LORA_STEPS,
+                    help="fine-tune length for the lora leg")
+    ap.add_argument("--lora-override", action="append", default=[],
+                    help="extra config override for the lora leg, repeatable "
+                         "(e.g. --lora-override="
+                         "model.losses.multires_l1.kwargs."
+                         "time_domain_weight=0.5)")
     args = ap.parse_args()
     ENHANCE_ARGS.extend(args.enhance_arg)
+    LORA_OVERRIDES.extend(args.lora_override)
+    globals()["LORA_STEPS"] = args.lora_steps
     tag = args.tag or ("r3" if args.gan_run else "r2")
     RUN_LORA = ROOT / "exp" / f"chain_{tag}" / "lora"
     OUT = ROOT / "exp" / f"chain_{tag}" / "enhanced"

@@ -19,7 +19,7 @@ import numpy as np
 
 from ..data.audio import (
     AUDIO_EXTS,
-    audio_duration,
+    audio_info,
     load_audio,
     resample_audio,
     save_audio,
@@ -50,25 +50,30 @@ def find_files(input_path: Path):
 
 
 def _bucket(files, fs_model, batch_size, quantum):
-    """Group files into (bucket_len, [paths...]) batches of equal padding.
+    """Group (path, channel) rows into (bucket_len, [(path, ch), ...])
+    batches of equal padding.  Channels ride the batch dimension like the
+    reference (bin/enhance.py:183-192 enhances the full (C, T) tensor), so
+    a stereo file contributes two rows and is written back as stereo.
 
-    Uses header-only duration probes (audio_duration) — a full decode here
-    would decode every file twice per run (the pure-Python FLAC fallback
-    makes that the dominant cost on a small host)."""
+    Uses header-only probes (audio_info) — a full decode here would decode
+    every file twice per run (the pure-Python FLAC fallback makes that the
+    dominant cost on a small host)."""
     infos = []
     for p in files:
-        n, fs = audio_duration(p)
+        n, fs, n_ch = audio_info(p)
         t_model = int(np.ceil(n * fs_model / fs))
         bucket = int(np.ceil(t_model / quantum)) * quantum
-        infos.append((bucket, p))
-    infos.sort(key=lambda x: (x[0], str(x[1])))
+        for c in range(n_ch):
+            infos.append((bucket, p, c))
+    infos.sort(key=lambda x: (x[0], str(x[1]), x[2]))
     batches = []
     i = 0
     while i < len(infos):
         bucket = infos[i][0]
         group = []
-        while i < len(infos) and infos[i][0] == bucket and len(group) < batch_size:
-            group.append(infos[i][1])
+        while (i < len(infos) and infos[i][0] == bucket
+               and len(group) < batch_size):
+            group.append((infos[i][1], infos[i][2]))
             i += 1
         batches.append((bucket, group))
     return batches
@@ -115,11 +120,18 @@ def main(argv=None):
             audio, fs = load_audio(path)
             if fs != model.fs:
                 audio = resample_audio(audio, fs, model.fs)
-            key, sub = jax.random.split(key)
-            out = enhancer(params, audio[0], key=sub)
-            total_audio += len(out) / model.fs
+            # every channel is enhanced (reference bin/enhance.py:183-192:
+            # channels ride the batch dim) and the file keeps its channels
+            chans = []
+            for c in range(audio.shape[0]):
+                key, sub = jax.random.split(key)
+                chans.append(np.asarray(enhancer(params, audio[c], key=sub)))
+            out = np.stack(chans)
+            total_audio += out.size / model.fs
             if fs != model.fs:
                 out = resample_audio(out, model.fs, fs)
+            if out.shape[0] == 1:
+                out = out[0]
             if dir_proc:
                 out_path = args.output / path.relative_to(rel_path)
             else:
@@ -144,15 +156,24 @@ def main(argv=None):
     n_done = 0
     total_audio = 0.0
     t0 = time.perf_counter()
-    for bucket_len, group in batches:
-        mixes, lengths, rates = [], [], []
-        for path in group:
+    # multichannel files may have their channels split across batches:
+    # collect enhanced channels per file and write once complete
+    pending = {}
+    loaded = {}
+
+    def _load(path):
+        if path not in loaded:
             audio, fs = load_audio(path)
             if fs != model.fs:
                 audio = resample_audio(audio, fs, model.fs)
-            mixes.append(audio[0])
-            lengths.append(audio.shape[-1])
-            rates.append(fs)
+            loaded[path] = (audio, fs)
+        return loaded[path]
+
+    for bucket_len, group in batches:
+        mixes = []
+        for path, ch in group:
+            audio, _fs = _load(path)
+            mixes.append(audio[ch])
         # pad the batch dimension too: a bucket's tail group would otherwise
         # be a fresh XLA shape -> a fresh compile per bucket
         rows = args.batch_size if len(group) < args.batch_size else len(group)
@@ -162,12 +183,21 @@ def main(argv=None):
 
         key, sub = jax.random.split(key)
         enh = np.asarray(jit_enhance(params, batch, sub))[: len(group)]
-        total_audio += sum(lengths) / model.fs
 
-        for i, path in enumerate(group):
-            out = enh[i, : lengths[i]]
-            if rates[i] != model.fs:
-                out = resample_audio(out, model.fs, rates[i])
+        for i, (path, ch) in enumerate(group):
+            audio, fs = _load(path)
+            n_ch, length = audio.shape
+            total_audio += length / model.fs
+            slot = pending.setdefault(path, {})
+            slot[ch] = enh[i, :length]
+            if len(slot) < n_ch:
+                continue
+            out = np.stack([slot[c] for c in range(n_ch)])
+            del pending[path], loaded[path]
+            if fs != model.fs:
+                out = resample_audio(out, model.fs, fs)
+            if out.shape[0] == 1:
+                out = out[0]
             if dir_proc:
                 out_path = args.output / path.relative_to(rel_path)
                 out_path.parent.mkdir(exist_ok=True, parents=True)
@@ -175,10 +205,11 @@ def main(argv=None):
                 out_path = (args.output / path.name
                             if args.output.is_dir() else args.output)
                 out_path.parent.mkdir(exist_ok=True, parents=True)
-            save_audio(_out_suffix(out_path), out, rates[i])
+            save_audio(_out_suffix(out_path), out, fs)
             n_done += 1
         print(f"[{n_done}/{len(files)}] bucket {bucket_len / model.fs:.1f}s "
-              f"x{len(group)}", file=sys.stderr)
+              f"x{len(group)} rows", file=sys.stderr)
+    assert not pending, f"unwritten channels for {list(pending)}"
 
     dt = time.perf_counter() - t0
     # actual clip seconds, not padded bucket seconds — the realtime factor

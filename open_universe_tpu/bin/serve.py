@@ -14,15 +14,22 @@ auto-enables whenever a quiet period leaves a batch <= 64.
 
 API:
   POST /enhance   body = a wav/mp3/flac file -> 200 with a WAV body at the
-                  input sample rate.  Optional query args: none (model
-                  sampler settings are fixed at server start so every
-                  request compiles to the same program).
+                  input sample rate and channel count (every channel is
+                  enhanced — each is one micro-batch row, like the
+                  reference's channels-ride-the-batch-dim enhance,
+                  bin/enhance.py:183-192).  Optional query args: none
+                  (model sampler settings are fixed at server start so
+                  every request compiles to the same program).
   GET  /healthz   liveness + model metadata JSON
   GET  /stats     request/batch/throughput counters JSON
 
 All device work runs on a single worker thread (one jitted callable; XLA
 caches one executable per (bucket, rows) shape, rows restricted to powers
-of two).  Request threads only decode/encode audio.
+of two — max-batch is rounded DOWN to a power of two).  Request threads
+only decode/encode audio.  At startup the whole executable grid for clips
+up to --warmup-seconds is precompiled (service.precompile), so a cold
+server answers any in-grid shape without an XLA compile in the request
+window.
 """
 import argparse
 import json
@@ -55,10 +62,25 @@ def _sniff_suffix(body: bytes) -> str:
 
 @dataclass
 class _Job:
-    audio: np.ndarray          # mono f32 at model fs
+    audio: np.ndarray          # one channel, f32 at model fs
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[np.ndarray] = None
     error: Optional[str] = None
+
+
+@dataclass
+class _WarmJob:
+    """Internal: compile the (rows, bucket) program on the device worker."""
+    bucket: int
+    rows: int
+    done: threading.Event = field(default_factory=threading.Event)
+
+
+def _pow2_floor(n: int) -> int:
+    p = 1
+    while p * 2 <= n:
+        p *= 2
+    return p
 
 
 class EnhanceService:
@@ -71,7 +93,10 @@ class EnhanceService:
 
         self.model = model
         self.params = params
-        self.max_batch = int(max_batch)
+        # rows are restricted to powers of two so the executable-cache
+        # bound (#buckets x #row-sizes) holds; a non-pow2 max_batch would
+        # add one extra shape per bucket
+        self.max_batch = _pow2_floor(int(max_batch))
         self.window_s = batch_window_ms / 1000.0
         self.quantum = max(1, int(bucket_seconds * model.fs))
         self.max_clip_len = int(max_clip_seconds * model.fs)
@@ -92,24 +117,62 @@ class EnhanceService:
     # -------------------------------------------------------------- client
     def submit(self, audio: np.ndarray) -> _Job:
         job = _Job(audio=audio)
+        if self._stop.is_set():
+            # fail fast: a job enqueued after close() drained the queue
+            # would otherwise block its request thread for the full
+            # request timeout
+            job.error = "server shutting down"
+            job.done.set()
+            return job
         with self._lock:
             self.stats["requests"] += 1
         self._q.put(job)
         return job
 
+    def precompile(self, seconds: float):
+        """Compile every (bucket <= seconds, pow2 rows <= max_batch)
+        program on the device worker so no cold request pays an XLA
+        compile inside its latency window.  Blocks until done; shape count
+        = ceil(seconds/bucket_seconds) * (log2(max_batch)+1)."""
+        warms = []
+        b = self.quantum
+        while b <= -(-int(seconds * self.model.fs) // self.quantum) \
+                * self.quantum:
+            rows = 1
+            while rows <= self.max_batch:
+                warms.append(_WarmJob(bucket=b, rows=rows))
+                rows *= 2
+            b += self.quantum
+        for w in warms:
+            self._q.put(w)
+        for w in warms:
+            w.done.wait()
+        return len(warms)
+
     def close(self):
         self._stop.set()
         self._q.put(None)  # wake the worker
-        self._worker.join(timeout=10)
-        # fail any job the worker never got to (queued behind the sentinel
-        # or dequeued-but-unprocessed) so its request thread doesn't sit out
-        # the full request timeout
+        # fail fast for anything still queued, then give the worker (which
+        # may sit in a cold compile) time to finish its in-flight batch —
+        # draining both before AND after the join closes the race where a
+        # job lands behind the in-progress batch
+        deadline = time.monotonic() + 300.0
+        while True:
+            self._drain_failed()
+            self._worker.join(timeout=1.0)
+            if not self._worker.is_alive() or time.monotonic() > deadline:
+                break
+        self._drain_failed()
+
+    def _drain_failed(self):
         while True:
             try:
                 j = self._q.get_nowait()
             except queue.Empty:
                 break
-            if j is not None:
+            if isinstance(j, _WarmJob):
+                j.done.set()
+            elif j is not None:
                 j.error = "server shutting down"
                 j.done.set()
 
@@ -135,10 +198,26 @@ class EnhanceService:
         return jobs
 
     def _run(self):
+        import jax
+
         while not self._stop.is_set():
             jobs = self._collect()
             if not jobs:
                 continue
+            # warm jobs run alone (their (rows, bucket) shape is the point)
+            real = []
+            for j in jobs:
+                if isinstance(j, _WarmJob):
+                    try:
+                        np.asarray(self._jit(
+                            self.params,
+                            np.zeros((j.rows, j.bucket), np.float32),
+                            jax.random.key(0)))
+                    finally:
+                        j.done.set()
+                else:
+                    real.append(j)
+            jobs = real
             # group by padded bucket length
             by_bucket = {}
             for j in jobs:
@@ -182,6 +261,11 @@ class EnhanceService:
 def make_handler(service: EnhanceService, model_name: str,
                  request_timeout: float = 300.0):
     fs_model = service.model.fs
+    # OOM guard: refuse bodies that cannot possibly be a valid clip BEFORE
+    # buffering them — max clip duration at a generous 48 kHz / float32 /
+    # 8 channels, plus container slack
+    max_body_bytes = (int(service.max_clip_len / fs_model * 48000) * 4 * 8
+                      + (1 << 20))
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -201,7 +285,9 @@ def make_handler(service: EnhanceService, model_name: str,
             if self.path == "/healthz":
                 self._json(200, {"status": "ok", "model": model_name,
                                  "fs": fs_model,
-                                 "max_batch": service.max_batch})
+                                 "max_batch": service.max_batch,
+                                 "channels": "all enhanced; output keeps "
+                                             "the input channel count"})
             elif self.path == "/stats":
                 with service._lock:
                     s = dict(service.stats)
@@ -221,7 +307,20 @@ def make_handler(service: EnhanceService, model_name: str,
                 self.close_connection = True  # chunked/absent: can't drain
                 self._json(411, {"error": "Content-Length required"})
                 return
-            body = self.rfile.read(int(cl))
+            try:
+                cl = int(cl)
+            except ValueError:
+                self.close_connection = True  # body length unknowable
+                self._json(400, {"error": "malformed Content-Length"})
+                return
+            if cl > max_body_bytes:
+                # refuse BEFORE buffering: a huge Content-Length must not
+                # be read into memory just to fail the duration check
+                self.close_connection = True
+                self._json(413, {"error": f"body exceeds {max_body_bytes} "
+                                          "byte limit"})
+                return
+            body = self.rfile.read(cl)
             if self.path != "/enhance":
                 self._json(404, {"error": "not found"})
                 return
@@ -234,26 +333,35 @@ def make_handler(service: EnhanceService, model_name: str,
             except Exception as e:  # noqa: BLE001
                 self._json(400, {"error": f"undecodable audio: {e}"})
                 return
-            mono = audio[0]
             if fs != fs_model:
-                mono = resample_audio(mono, fs, fs_model)
-            if len(mono) == 0:
+                audio = resample_audio(audio, fs, fs_model)
+            if audio.shape[-1] == 0:
                 self._json(400, {"error": "empty audio"})
                 return
-            if len(mono) > service.max_clip_len:
+            if audio.shape[-1] > service.max_clip_len:
                 self._json(413, {"error": "clip too long; use the chunked "
                                           "CLI for long recordings"})
                 return
-            job = service.submit(mono.astype(np.float32))
-            if not job.done.wait(timeout=request_timeout):
-                self._json(504, {"error": "enhancement timed out"})
+            # every channel is enhanced (reference bin/enhance.py:183-192:
+            # channels ride the batch dim); each channel is one micro-batch
+            # row, so a stereo request batches exactly like two mono ones
+            jobs = [service.submit(np.asarray(ch, np.float32))
+                    for ch in audio]
+            deadline = time.monotonic() + request_timeout
+            for job in jobs:
+                if not job.done.wait(timeout=max(0.0,
+                                                 deadline - time.monotonic())):
+                    self._json(504, {"error": "enhancement timed out"})
+                    return
+            errs = [j.error for j in jobs if j.error is not None]
+            if errs:
+                self._json(500, {"error": errs[0]})
                 return
-            if job.error is not None:
-                self._json(500, {"error": job.error})
-                return
-            out = job.result
+            out = np.stack([j.result for j in jobs])
             if fs != fs_model:
                 out = resample_audio(out, fs_model, fs)
+            if out.shape[0] == 1:
+                out = out[0]
             with tempfile.NamedTemporaryFile(suffix=".wav") as f:
                 save_audio(f.name, out, fs)
                 wav = Path(f.name).read_bytes()
@@ -288,8 +396,11 @@ def main(argv=None):
     parser.add_argument("--bucket-seconds", type=float, default=1.0)
     parser.add_argument("--max-clip-seconds", type=float, default=60.0)
     parser.add_argument("--warmup-seconds", type=float, default=2.0,
-                        help="compile the (1 x warmup bucket) program before "
-                             "accepting traffic (0 disables)")
+                        help="precompile the full executable grid for clips "
+                             "up to this long — every (bucket, pow2-rows <= "
+                             "max-batch) program — before accepting traffic, "
+                             "so no cold request pays an XLA compile inside "
+                             "its latency window (0 disables)")
     args, model, params, enhance_kwargs = parse_with_enhance_args(
         parser, sys.argv[1:] if argv is None else argv, load_model)
 
@@ -300,14 +411,9 @@ def main(argv=None):
         max_clip_seconds=args.max_clip_seconds, seed=args.seed,
         enhance_kwargs=enhance_kwargs)
     if args.warmup_seconds > 0:
-        import jax
-
-        t = -(-int(args.warmup_seconds * model.fs) // service.quantum) \
-            * service.quantum
         t0 = time.perf_counter()
-        np.asarray(service._jit(params, np.zeros((1, t), np.float32),
-                                jax.random.key(0)))
-        print(f"warmup compile ({t / model.fs:.1f}s x 1): "
+        n = service.precompile(args.warmup_seconds)
+        print(f"precompiled {n} (bucket, rows) programs in "
               f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
     print(f"serving {args.model} on http://{args.host}:"
           f"{server.server_address[1]} (fs={model.fs}, "

@@ -59,10 +59,16 @@ def load_audio(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
 
 
 def audio_duration(path: Union[str, Path]) -> Tuple[int, int]:
-    """Returns (n_samples, sample_rate) from container headers only — no
-    decode.  wav: RIFF fmt/data chunk walk; flac: STREAMINFO.  mp3 (and
-    anything else) falls back to a full decode (frame-header walking would
-    misreport VBR streams without a Xing header)."""
+    """Returns (n_samples, sample_rate); see audio_info."""
+    n, fs, _ = audio_info(path)
+    return n, fs
+
+
+def audio_info(path: Union[str, Path]) -> Tuple[int, int, int]:
+    """Returns (n_samples, sample_rate, n_channels) from container headers
+    only — no decode.  wav: RIFF fmt/data chunk walk; flac: STREAMINFO.
+    mp3 (and anything else) falls back to a full decode (frame-header
+    walking would misreport VBR streams without a Xing header)."""
     path = Path(path)
     suffix = path.suffix.lower()
     if suffix == ".wav":
@@ -74,6 +80,7 @@ def audio_duration(path: Union[str, Path]) -> Tuple[int, int]:
                 raise ValueError(f"{path} is not a RIFF/WAVE file")
             fs = None
             block_align = None
+            channels = 1
             while True:
                 hdr = f.read(8)
                 if len(hdr) < 8:
@@ -81,12 +88,13 @@ def audio_duration(path: Union[str, Path]) -> Tuple[int, int]:
                 cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
                 if cid == b"fmt ":
                     fmt = f.read(size + (size & 1))
+                    channels = struct.unpack("<H", fmt[2:4])[0] or 1
                     fs = struct.unpack("<I", fmt[4:8])[0]
                     block_align = struct.unpack("<H", fmt[12:14])[0]
                 elif cid == b"data":
                     if fs is None or not block_align:
                         raise ValueError(f"{path}: data chunk before fmt")
-                    return size // block_align, int(fs)
+                    return size // block_align, int(fs), int(channels)
                 else:
                     f.seek(size + (size & 1), 1)
         raise ValueError(f"{path}: no data chunk found")
@@ -104,14 +112,15 @@ def audio_duration(path: Union[str, Path]) -> Tuple[int, int]:
                 if btype == 0:  # STREAMINFO
                     bits = int.from_bytes(body[10:18], "big")
                     fs = (bits >> 44) & 0xFFFFF
+                    channels = ((bits >> 41) & 0x7) + 1
                     total = bits & ((1 << 36) - 1)
                     if total:
-                        return int(total), int(fs)
+                        return int(total), int(fs), int(channels)
                     break  # unknown length: decode
                 if last:
                     break
     audio, fs = load_audio(path)
-    return int(audio.shape[-1]), int(fs)
+    return int(audio.shape[-1]), int(fs), int(audio.shape[0])
 
 
 def save_audio(path: Union[str, Path], audio: np.ndarray, fs: int):

@@ -256,3 +256,65 @@ def test_train_cli_end_to_end(tmp_path, rng):
     assert len(outs) == 2
     enh, _ = load_audio(outs[0])
     assert np.isfinite(enh).all()
+
+
+def test_enhance_cli_stereo(tmp_path, tiny_ckpt, rng):
+    """Multichannel files keep their channel count and every channel is
+    enhanced (reference bin/enhance.py:183-192 runs the full (C, T) tensor
+    through enhance; ours batches (path, channel) rows)."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    fs = 16000
+    t = int(0.21 * fs)
+    n = np.arange(t) / fs
+    stereo = np.stack([
+        0.1 * np.sin(2 * np.pi * 220 * n) + 0.02 * rng.standard_normal(t),
+        0.1 * np.sin(2 * np.pi * 440 * n) + 0.02 * rng.standard_normal(t),
+    ]).astype(np.float32)
+    mono = (0.1 * np.sin(2 * np.pi * 330 * n)
+            + 0.02 * rng.standard_normal(t)).astype(np.float32)
+    save_audio(in_dir / "stereo.wav", stereo, fs)
+    save_audio(in_dir / "mono.wav", mono, fs)
+
+    out_dir = tmp_path / "out"
+    from open_universe_tpu.bin.enhance import main
+
+    # batch-size 2 forces the stereo file's channels to share one batch
+    # with the mono clip split across batches (reassembly across groups)
+    rc = main([str(in_dir), str(out_dir), "--model", str(tiny_ckpt),
+               "--batch-size", "2", "--bucket-seconds", "0.5",
+               "--n_steps", "2"])
+    assert rc == 0
+    enh_st, fs_st = load_audio(out_dir / "stereo.wav")
+    enh_mono, fs_mono = load_audio(out_dir / "mono.wav")
+    assert fs_st == fs and fs_mono == fs
+    assert enh_st.shape == (2, t)
+    assert enh_mono.shape == (1, t)  # load_audio returns (C, T)
+    assert np.isfinite(enh_st).all() and np.isfinite(enh_mono).all()
+    # both channels really enhanced (distinct inputs -> distinct outputs)
+    assert not np.array_equal(enh_st[0], enh_st[1])
+    assert np.any(enh_st != 0) and np.any(enh_mono != 0)
+
+
+def test_enhance_cli_chunked_stereo(tmp_path, tiny_ckpt, rng):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    fs = 16000
+    t = int(0.6 * fs)
+    n = np.arange(t) / fs
+    stereo = np.stack([
+        0.1 * np.sin(2 * np.pi * 220 * n) + 0.02 * rng.standard_normal(t),
+        0.1 * np.sin(2 * np.pi * 440 * n) + 0.02 * rng.standard_normal(t),
+    ]).astype(np.float32)
+    save_audio(in_dir / "s.wav", stereo, fs)
+
+    out_dir = tmp_path / "out"
+    from open_universe_tpu.bin.enhance import main
+
+    rc = main([str(in_dir), str(out_dir), "--model", str(tiny_ckpt),
+               "--chunk-seconds", "0.25", "--n_steps", "2"])
+    assert rc == 0
+    enh, fs2 = load_audio(out_dir / "s.wav")
+    assert fs2 == fs and enh.shape == (2, t)
+    assert np.isfinite(enh).all()
+    assert not np.array_equal(enh[0], enh[1])

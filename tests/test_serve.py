@@ -119,3 +119,95 @@ def test_enhance_rejects_garbage_and_long_clips(server, rng):
 
     with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
         assert json.loads(r.read())["status"] == "ok"  # server still alive
+
+
+def test_enhance_stereo_roundtrip(server, rng):
+    """Every channel is enhanced and the response keeps the channel count
+    (reference bin/enhance.py:183-192: channels ride the batch dim)."""
+    url, _ = server
+    t = int(0.2 * FS)
+    left = (0.1 * np.sin(2 * np.pi * 220 * np.arange(t) / FS)
+            + 0.02 * rng.standard_normal(t))
+    right = (0.1 * np.sin(2 * np.pi * 440 * np.arange(t) / FS)
+             + 0.02 * rng.standard_normal(t))
+    stereo = np.stack([left, right]).astype(np.float32)
+    status, body = _post(url, _wav_bytes(stereo))
+    assert status == 200, body
+    with wave.open(io.BytesIO(body)) as w:
+        assert w.getnchannels() == 2
+        assert w.getframerate() == FS
+        assert w.getnframes() == t
+        out = np.frombuffer(w.readframes(t), np.int16).reshape(t, 2).T
+    out = out.astype(np.float32)
+    assert np.isfinite(out).all() and np.any(out != 0)
+    # per-channel enhancement, not a copy of channel 0
+    assert not np.array_equal(out[0], out[1])
+
+
+def test_body_guards(server):
+    """ADVICE r4: malformed Content-Length -> 400 (not a connection
+    reset); huge Content-Length -> 413 BEFORE the body is buffered."""
+    import http.client
+
+    url, _ = server
+    host, port = url.removeprefix("http://").split(":")
+
+    conn = http.client.HTTPConnection(host, int(port), timeout=60)
+    conn.putrequest("POST", "/enhance")
+    conn.putheader("Content-Length", "not-a-number")
+    conn.endheaders()
+    assert conn.getresponse().status == 400
+    conn.close()
+
+    conn = http.client.HTTPConnection(host, int(port), timeout=60)
+    conn.putrequest("POST", "/enhance")
+    conn.putheader("Content-Length", str(10 ** 12))
+    conn.endheaders()  # body never sent: the server must reject on header
+    assert conn.getresponse().status == 413
+    conn.close()
+
+
+def test_precompile_grid_and_pow2_batch():
+    """service.precompile covers the (bucket, pow2 rows) grid so an in-grid
+    cold request triggers NO new XLA compile (VERDICT r4 Weak #5), and a
+    non-pow2 max_batch is rounded down (ADVICE r4)."""
+    from open_universe_tpu.bin.serve import EnhanceService
+
+    model = instantiate(TINY_GAN_CFG)
+    params = model.init(jax.random.key(1))
+    service = EnhanceService(model, params, max_batch=5,  # rounds to 4
+                             batch_window_ms=1.0, bucket_seconds=0.25,
+                             max_clip_seconds=1.0,
+                             enhance_kwargs={"n_steps": 2})
+    try:
+        assert service.max_batch == 4
+        n = service.precompile(0.5)
+        # 2 buckets (0.25 s, 0.5 s) x rows {1, 2, 4}
+        assert n == 6
+        cache_after_warm = service._jit._cache_size()
+        assert cache_after_warm == 6
+        # a cold request landing on a never-served (but in-grid) shape:
+        # 0.4 s clip -> bucket 0.5 s, rows 1 — already compiled
+        job = service.submit(np.zeros(int(0.4 * FS), np.float32))
+        assert job.done.wait(timeout=300)
+        assert job.error is None and job.result.shape == (int(0.4 * FS),)
+        assert service._jit._cache_size() == cache_after_warm  # no compile
+    finally:
+        service.close()
+
+
+def test_submit_after_close_fails_fast():
+    """ADVICE r4: a job submitted after close() must not hang its request
+    thread for the full request timeout."""
+    from open_universe_tpu.bin.serve import EnhanceService
+
+    model = instantiate(TINY_GAN_CFG)
+    params = model.init(jax.random.key(2))
+    service = EnhanceService(model, params, max_batch=2,
+                             batch_window_ms=1.0, bucket_seconds=0.25,
+                             max_clip_seconds=1.0,
+                             enhance_kwargs={"n_steps": 2})
+    service.close()
+    job = service.submit(np.zeros(100, np.float32))
+    assert job.done.wait(timeout=5)
+    assert job.error is not None
