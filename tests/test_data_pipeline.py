@@ -186,3 +186,22 @@ def test_eval_metrics_per_metric_isolation():
     assert len(seen) == 2              # dnsmos ran on BOTH samples
     assert out["dnsmos-OVRL"] == 2.0
     assert "lsd" in out
+
+
+def test_audio_info_channel_probe(tmp_path):
+    """audio_info reports channel counts from headers only (wav fmt chunk,
+    flac STREAMINFO) — the enhance CLI's multichannel bucketing relies on
+    it to count rows without decoding."""
+    import numpy as np
+
+    from open_universe_tpu.data.audio import audio_info, save_audio
+
+    rng = np.random.default_rng(0)
+    stereo = (0.1 * rng.standard_normal((2, 4321))).astype(np.float32)
+    mono = stereo[0]
+    save_audio(tmp_path / "st.wav", stereo, 16000)
+    save_audio(tmp_path / "mo.wav", mono, 16000)
+    save_audio(tmp_path / "st.flac", stereo, 24000)
+    assert audio_info(tmp_path / "st.wav") == (4321, 16000, 2)
+    assert audio_info(tmp_path / "mo.wav") == (4321, 16000, 1)
+    assert audio_info(tmp_path / "st.flac") == (4321, 24000, 2)

@@ -53,7 +53,7 @@ def _wav_bytes(x, fs=FS):
         return Path(f.name).read_bytes()
 
 
-def _post(url, body, timeout=120):
+def _post(url, body, timeout=300):
     req = urllib.request.Request(url + "/enhance", data=body,
                                  headers={"Content-Type": "audio/wav"})
     try:
@@ -152,14 +152,14 @@ def test_body_guards(server):
     url, _ = server
     host, port = url.removeprefix("http://").split(":")
 
-    conn = http.client.HTTPConnection(host, int(port), timeout=60)
+    conn = http.client.HTTPConnection(host, int(port), timeout=300)
     conn.putrequest("POST", "/enhance")
     conn.putheader("Content-Length", "not-a-number")
     conn.endheaders()
     assert conn.getresponse().status == 400
     conn.close()
 
-    conn = http.client.HTTPConnection(host, int(port), timeout=60)
+    conn = http.client.HTTPConnection(host, int(port), timeout=300)
     conn.putrequest("POST", "/enhance")
     conn.putheader("Content-Length", str(10 ** 12))
     conn.endheaders()  # body never sent: the server must reject on header
