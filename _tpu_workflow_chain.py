@@ -55,7 +55,9 @@ FS = 16000
 GAN_STEPS = 3000
 LORA_STEPS = 400
 VAL_EVERY = 1000
-METRICS = ["si-sdr", "pesq-wb", "stoi-ext", "lsd"]
+# dnsmos/plcmos run offline since r5 (in-house ONNX executor)
+METRICS = ["si-sdr", "pesq-wb", "stoi-ext", "lsd", "dnsmos", "plcmos"]
+TABLE_COLS = ["si-sdr", "pesq-wb", "stoi-ext", "lsd", "OVRL", "plcmos"]
 
 
 def _dataset():
@@ -169,11 +171,11 @@ def phase_evaluate():
             (rdir / f"{deg.stem}_summary.json").read_text())
         rows[name] = summary
     log.info("=== summary (test split, %d files) ===", 16)
-    hdr = ["model"] + METRICS
+    hdr = ["model"] + TABLE_COLS
     print("\t".join(hdr))
     for name, s in rows.items():
         print("\t".join([name] + [f"{s.get(m, float('nan')):.3f}"
-                                  for m in METRICS]))
+                                  for m in TABLE_COLS]))
     (OUT / "chain_summary.json").write_text(json.dumps(rows, indent=2))
 
 
